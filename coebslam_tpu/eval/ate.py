@@ -1,0 +1,96 @@
+"""Absolute trajectory error — the acceptance metric.
+
+Re-implements the scoring pipeline the reference is judged by
+(`evaluate_ate.py`: Horn alignment at lines 47-77, RMSE at line 190, with
+`associate.py` timestamp pairing): given estimated and ground-truth
+trajectories, find the rigid alignment minimizing squared error (Horn 1987
+closed form via SVD) and report translational RMSE.
+
+numpy (host-side, evaluation only — not a hot path).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def associate(stamps_a, stamps_b, max_difference: float = 0.02):
+    """Greedy closest-timestamp association (associate.py semantics: sort all
+    candidate pairs by |dt|, accept greedily, each stamp used once).
+
+    Returns list of (idx_a, idx_b).
+    """
+    stamps_a = np.asarray(stamps_a)
+    stamps_b = np.asarray(stamps_b)
+    pairs = []
+    for i, ta in enumerate(stamps_a):
+        j = int(np.argmin(np.abs(stamps_b - ta)))
+        dt = abs(float(stamps_b[j] - ta))
+        if dt <= max_difference:
+            pairs.append((dt, i, j))
+    pairs.sort()
+    used_a, used_b, out = set(), set(), []
+    for dt, i, j in pairs:
+        if i in used_a or j in used_b:
+            continue
+        used_a.add(i)
+        used_b.add(j)
+        out.append((i, j))
+    out.sort()
+    return out
+
+
+def horn_align(model: np.ndarray, data: np.ndarray
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Least-squares rigid alignment data ~= R @ model + t (Horn closed form,
+    the same SVD construction as evaluate_ate.py:47-77).
+
+    Args:
+      model, data: [3, N] point sets (estimated / ground truth).
+    Returns:
+      (R [3,3], t [3,1], trans_error [N]) — per-pair residual norms after
+      alignment.
+    """
+    model = np.asarray(model, np.float64)
+    data = np.asarray(data, np.float64)
+    model_zero = model - model.mean(1, keepdims=True)
+    data_zero = data - data.mean(1, keepdims=True)
+    W = model_zero @ data_zero.T
+    U, _, Vt = np.linalg.svd(W.T)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    t = data.mean(1, keepdims=True) - R @ model.mean(1, keepdims=True)
+    aligned = R @ model + t
+    err = aligned - data
+    trans_error = np.sqrt((err * err).sum(0))
+    return R, t, trans_error
+
+
+def ate_rmse(est_stamps, est_xyz, gt_stamps, gt_xyz,
+             max_difference: float = 0.02) -> Dict[str, float]:
+    """Associate, align, score — the full evaluate_ate.py pipeline.
+
+    Args:
+      est_xyz / gt_xyz: [N, 3] positions.
+    Returns dict with rmse/mean/median/std/min/max/pairs.
+    """
+    matches = associate(est_stamps, gt_stamps, max_difference)
+    if len(matches) < 2:
+        raise ValueError(f"only {len(matches)} associated pairs")
+    ia = np.array([m[0] for m in matches])
+    ib = np.array([m[1] for m in matches])
+    model = np.asarray(est_xyz)[ia].T
+    data = np.asarray(gt_xyz)[ib].T
+    _, _, err = horn_align(model, data)
+    return {
+        "rmse": float(np.sqrt((err ** 2).mean())),
+        "mean": float(err.mean()),
+        "median": float(np.median(err)),
+        "std": float(err.std()),
+        "min": float(err.min()),
+        "max": float(err.max()),
+        "pairs": len(matches),
+    }
