@@ -210,6 +210,12 @@ class TrackingConfig:
     min_matches_motion_model: int = 20
     min_inliers_track: int = 10
     min_inliers_local_map: int = 30
+    # Motion sanity gate: a per-frame solve that jumps further than this is a
+    # failed track, not a fast camera (the reference reaches the same end via
+    # LOST + relocalization; without a gate a false GN basin with self-
+    # consistent wrong matches can masquerade as OK tracking).
+    max_translation_per_frame: float = 0.35   # metres at video rate
+    max_rotation_per_frame: float = 0.35      # radians (~20 deg)
 
 
 @dataclass(frozen=True)

@@ -39,7 +39,8 @@ def brief_pattern():
         while (pts[i, 0] == pts[i, 1]).all():
             pts[i, 1] = np.clip(np.round(rng.randn(2) * sigma),
                                 -_PATTERN_CLIP, _PATTERN_CLIP).astype(np.int32)
-    return jnp.asarray(pts)
+    # numpy on purpose: cached jnp constants leak tracers across jit traces.
+    return pts
 
 
 def describe(patches, angles):
@@ -56,7 +57,7 @@ def describe(patches, angles):
     """
     n, p, _ = patches.shape
     pc = p // 2
-    pat = brief_pattern().astype(jnp.float32)      # [256, 2, 2] (y, x)
+    pat = jnp.asarray(brief_pattern(), jnp.float32)  # [256, 2, 2] (y, x)
     py = pat[..., 0]                                # [256, 2]
     px = pat[..., 1]
 

@@ -123,7 +123,12 @@ def extract(
 
     for lvl, lvl_img in enumerate(levels):
         h, w = lvl_img.shape
-        score = fast.nms_3x3(fast.fast_score_map(lvl_img, thr))
+        strength = fast.strength_map(lvl_img)
+        row = jnp.arange(h)[:, None]
+        col = jnp.arange(w)[None, :]
+        border = (row >= 3) & (row < h - 3) & (col >= 3) & (col < w - 3)
+        score = jnp.where(border & (strength > thr), strength, 0.0)
+        score = fast.nms_3x3(score)
 
         # Edge margin (reference EDGE_THRESHOLD=19 border).
         m = cfg.edge_threshold
@@ -160,9 +165,17 @@ def extract(
         pt = patches.gather_patches(blurred, yx)
         ang = patches.orientations(pt)
 
+        # Sub-pixel corner positions (removes the coherent integer-snap bias
+        # the reference inherits from OpenCV FAST), then map to level-0
+        # coordinates under the half-pixel-center resize convention:
+        # x0 = (x_l + 0.5) * scale - 0.5.  (Plain x_l * scale introduces a
+        # systematic +0.5*(scale-1) px bias at upper levels.)
+        off = fast.subpixel_refine(strength, yx)
         scale = cfg.scale_factor ** lvl
-        uv = jnp.stack([yx[:, 1].astype(jnp.float32) * scale,
-                        yx[:, 0].astype(jnp.float32) * scale], axis=-1)
+        uv = jnp.stack(
+            [(yx[:, 1].astype(jnp.float32) + off[:, 1] + 0.5) * scale - 0.5,
+             (yx[:, 0].astype(jnp.float32) + off[:, 0] + 0.5) * scale - 0.5],
+            axis=-1)
 
         all_uv.append(uv)
         all_level.append(jnp.full((caps[lvl],), lvl, jnp.int32))

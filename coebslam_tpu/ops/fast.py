@@ -38,6 +38,28 @@ def _circle_stack(img):
          for (dy, dx) in CIRCLE_OFFSETS], axis=0)
 
 
+def strength_map(img):
+    """Dense FAST-9/16 corner-strength map (no threshold gate).
+
+    For every arc start s, the weakest element of the 9-long arc determines
+    the largest threshold at which that arc fires:
+      bright arc strength_s = min_{j<9} diff[(s+j) % 16]
+      dark   arc strength_s = min_{j<9} -diff[(s+j) % 16]
+    Strength = max_s max(bright_s, dark_s); a pixel is a corner at threshold
+    t iff strength > t.  This equals OpenCV's FAST corner score on corners
+    and extends continuously below threshold — which makes it usable for
+    sub-pixel interpolation around maxima.
+    """
+    circle = _circle_stack(img)            # [16, H, W]
+    diff = circle - img[None]              # [16, H, W]
+    diff_ext = jnp.concatenate([diff, diff[:ARC_LENGTH - 1]], axis=0)  # [24,H,W]
+    bright_min = jnp.stack(
+        [jnp.min(diff_ext[s:s + ARC_LENGTH], axis=0) for s in range(16)], axis=0)
+    dark_min = jnp.stack(
+        [jnp.min(-diff_ext[s:s + ARC_LENGTH], axis=0) for s in range(16)], axis=0)
+    return jnp.maximum(jnp.max(bright_min, axis=0), jnp.max(dark_min, axis=0))
+
+
 def fast_score_map(img, threshold: float):
     """Dense FAST-9/16 corner-score map.
 
@@ -50,20 +72,7 @@ def fast_score_map(img, threshold: float):
       score: [H, W] float32 — 0 where not a corner; otherwise the OpenCV
         corner score (max threshold keeping the pixel a corner).
     """
-    circle = _circle_stack(img)            # [16, H, W]
-    diff = circle - img[None]              # [16, H, W]
-
-    # For every arc start s, the weakest element of the 9-long arc determines
-    # the largest threshold at which that arc fires:
-    #   bright arc strength_s = min_{j<9} diff[(s+j) % 16]
-    #   dark   arc strength_s = min_{j<9} -diff[(s+j) % 16]
-    # Corner score = max_s max(bright_s, dark_s); corner iff score > t.
-    diff_ext = jnp.concatenate([diff, diff[:ARC_LENGTH - 1]], axis=0)  # [24,H,W]
-    bright_min = jnp.stack(
-        [jnp.min(diff_ext[s:s + ARC_LENGTH], axis=0) for s in range(16)], axis=0)
-    dark_min = jnp.stack(
-        [jnp.min(-diff_ext[s:s + ARC_LENGTH], axis=0) for s in range(16)], axis=0)
-    strength = jnp.maximum(jnp.max(bright_min, axis=0), jnp.max(dark_min, axis=0))
+    strength = strength_map(img)
     score = jnp.where(strength > threshold, strength, 0.0)
     # The 3-px border cannot host a valid circle.
     h, w = img.shape
@@ -71,6 +80,40 @@ def fast_score_map(img, threshold: float):
     col = jnp.arange(w)[None, :]
     valid = (row >= 3) & (row < h - 3) & (col >= 3) & (col < w - 3)
     return jnp.where(valid, score, 0.0)
+
+
+def subpixel_refine(strength, yx):
+    """Quadratic sub-pixel refinement of corner positions.
+
+    Fits independent 1-D parabolas through the corner-strength values at
+    (p-1, p, p+1) in x and y and returns fractional offsets in [-0.5, 0.5].
+    Integer FAST corners snap coherently as the image shifts sub-pixel — a
+    systematic whole-frame bias the reference inherits from OpenCV; this
+    removes most of it at negligible cost.
+
+    Args:
+      strength: [H, W] ungated strength map of the level.
+      yx: [N, 2] int32 corner coords.
+    Returns: [N, 2] float32 (dy, dx) offsets.
+    """
+    h, w = strength.shape
+    y = jnp.clip(yx[:, 0], 1, h - 2)
+    x = jnp.clip(yx[:, 1], 1, w - 2)
+    c = strength[y, x]
+    lx = strength[y, x - 1]
+    rx = strength[y, x + 1]
+    uy = strength[y - 1, x]
+    dy_ = strength[y + 1, x]
+
+    def parab(lo, mid, hi):
+        denom = lo - 2.0 * mid + hi
+        off = jnp.where(jnp.abs(denom) > 1e-6,
+                        0.5 * (lo - hi) / jnp.where(jnp.abs(denom) > 1e-6,
+                                                    denom, 1.0),
+                        0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    return jnp.stack([parab(uy, c, dy_), parab(lx, c, rx)], axis=-1)
 
 
 def nms_3x3(score):

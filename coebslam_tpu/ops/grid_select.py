@@ -63,6 +63,16 @@ def select_grid_topk(score_map, cell_size: int, k_per_cell: int, n_out: int):
     key = ranks.astype(jnp.float32) * 1e6 - flat_scores
     key = jnp.where(valid_cand, key, jnp.inf)
 
+    # Tiny images can yield fewer candidates than n_out: pad with invalids.
+    n_cand = key.shape[0]
+    if n_cand < n_out:
+        pad = n_out - n_cand
+        key = jnp.concatenate([key, jnp.full(pad, jnp.inf)])
+        flat_scores = jnp.concatenate([flat_scores, jnp.zeros(pad)])
+        flat_rows = jnp.concatenate([flat_rows, jnp.zeros(pad, flat_rows.dtype)])
+        flat_cols = jnp.concatenate([flat_cols, jnp.zeros(pad, flat_cols.dtype)])
+        valid_cand = jnp.concatenate([valid_cand, jnp.zeros(pad, bool)])
+
     order = jnp.argsort(key)[:n_out]
     sel_scores = flat_scores[order]
     sel_valid = valid_cand[order]

@@ -42,7 +42,8 @@ def _centroid_weights(patch_size: int, radius: int):
     mask = (dx * dx + dy * dy) <= radius * radius
     wx = (dx * mask).astype(np.float32)
     wy = (dy * mask).astype(np.float32)
-    return jnp.asarray(wx), jnp.asarray(wy)
+    # Return numpy: cached jnp constants leak tracers across jit traces.
+    return wx, wy
 
 
 def orientations(patches):

@@ -126,10 +126,15 @@ def optimize_pose(
             w = w_rob * inv_sigma2 * active.astype(e.dtype)
             H = jnp.einsum("nri,n,nrj->ij", J, w, J)
             b = jnp.einsum("nri,n,nr->i", J, w, e)
-            H = H + 1e-8 * jnp.eye(6, dtype=H.dtype)
+            H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
             # e = obs - pred, pred' = pred + J dxi => min ||e - J dxi||:
             # normal equations H dxi = b.
             dxi = jnp.linalg.solve(H, b)
+            # Trust-region clip: an ill-conditioned system (few/degenerate
+            # matches) must not fling the pose across the map — cap the step
+            # and let further iterations refine.
+            norm = jnp.linalg.norm(dxi)
+            dxi = dxi * jnp.minimum(1.0, 0.5 / jnp.maximum(norm, 1e-12))
             return se3.retract(pose, dxi)
 
         pose = jax.lax.fori_loop(0, cfg.pose_iters_per_round, gn_iter, pose)

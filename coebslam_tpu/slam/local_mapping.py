@@ -1,0 +1,263 @@
+"""Local mapping: the per-keyframe map-refinement pipeline.
+
+TPU-native re-design of the `LocalMapping` thread (LocalMapping.cc:48-113,
+SURVEY §3.2): instead of a mapper thread racing the tracker over a mutexed
+map, keyframe insertion triggers a synchronous-but-jitted refinement step —
+the host assembles a fixed-shape covisibility window from the arena,
+dispatches one Schur-complement BA program, and writes results back.  (On
+TPU the BA program runs asynchronously on its own; the host only blocks
+when it reads the results, preserving the reference's latency split without
+shared-state races.)
+
+Pipeline per keyframe (mirroring LocalMapping::Run):
+  1. ProcessNewKeyFrame   — observation/covisibility wiring (done by the
+                            arena at insertion, map.py)
+  2. MapPointCulling      — found-ratio < 0.25 or too few observers
+                            (LocalMapping.cc:171-206)
+  3. CreateNewMapPoints   — RGB-D spawning happens at tracking time; the
+                            epipolar triangulation path lands with the
+                            monocular milestone
+  4. SearchInNeighbors    — projection Fuse dedup across covisible KFs
+  5. LocalBundleAdjustment (optim/local_ba.py)
+  6. KeyFrameCulling      — >=90% redundant observations (LocalMapping.cc:633)
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..optim import local_ba
+from ..ops import brief, matching as matching_ops
+from .map import MapArena
+
+WINDOW_KF = 16          # max optimized + fixed cameras in a BA window
+WINDOW_PT = 4096        # max points in a window
+WINDOW_OBS = 12         # max observations per point inside the window
+
+
+class LocalMapper:
+    def __init__(self, cfg: SystemConfig, arena: MapArena):
+        self.cfg = cfg
+        self.map = arena
+        self.recent_points: List[np.ndarray] = []   # per-KF spawned ids
+        self._jit_ba = jax.jit(
+            lambda prob: local_ba.optimize_local_ba(prob, cfg.camera,
+                                                    cfg.optimizer))
+
+    # ------------------------------------------------------------------ #
+
+    def process_keyframe(self, kf_id: int) -> None:
+        """Run the mapping pipeline for a freshly inserted keyframe."""
+        self.cull_map_points(kf_id)
+        self.fuse_neighbors(kf_id)
+        if self.map.n_kf >= 3:
+            self.run_local_ba(kf_id)
+        self.cull_keyframes(kf_id)
+
+    # ------------------------------------------------------------------ #
+
+    def cull_map_points(self, kf_id: int) -> None:
+        """MapPointCulling (LocalMapping.cc:171-206): recently created points
+        must be found in >=25% of the frames that predicted them visible and
+        gather >=3 observations within their first keyframes."""
+        m = self.map
+        cfg = self.cfg.mapping
+        pids = m.valid_points()
+        if len(pids) == 0:
+            return
+        # Only recently created points are vetted (the reference's
+        # mlpRecentAddedMapPoints list holds points for ~3 keyframes;
+        # LocalMapping.cc:178-204) — mature points are never re-culled here.
+        age = m.n_kf - 1 - m.pt_first_kf[pids]
+        recent = age <= 3
+        found_ratio = m.pt_found[pids] / np.maximum(m.pt_visible[pids], 1)
+        obs_count = m.point_observation_count(pids)
+        bad = recent & ((found_ratio < cfg.min_found_ratio)
+                        | ((age >= 2) & (obs_count < cfg.min_observations)))
+        for pid in pids[bad]:
+            m.remove_point(int(pid))
+
+    # ------------------------------------------------------------------ #
+
+    def fuse_neighbors(self, kf_id: int) -> None:
+        """SearchInNeighbors / ORBmatcher::Fuse (LocalMapping.cc:455-535,
+        ORBmatcher.cc:826): project the new KF's points into covisible
+        neighbors and merge duplicates (same landmark observed under two
+        ids)."""
+        m = self.map
+        neighbors = m.best_covisible(kf_id, 10)
+        if len(neighbors) == 0:
+            return
+        own = m.kf_obs_pt[kf_id]
+        own_pids = own[own >= 0]
+        if len(own_pids) == 0:
+            return
+        pos = m.pt_pos[own_pids]
+        signed_own = _signed(m.pt_desc[own_pids])
+
+        for nb in neighbors:
+            R, t = m.kf_R[nb], m.kf_t[nb]
+            pc = pos @ R.T + t
+            z = pc[:, 2]
+            u = self.cfg.camera.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cfg.camera.cx
+            v = self.cfg.camera.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cfg.camera.cy
+            vis = (z > 0.05) & (u >= 0) & (u < self.cfg.camera.width) \
+                & (v >= 0) & (v < self.cfg.camera.height)
+            if not vis.any():
+                continue
+            nb_valid = m.kf_kp_valid[nb]
+            nb_uv = m.kf_uv[nb]
+            # For each visible own-point: nearest neighbor keypoint within
+            # 3 px that is bound to a DIFFERENT point id -> merge.
+            du = np.abs(nb_uv[None, :, 0] - u[:, None])
+            dv = np.abs(nb_uv[None, :, 1] - v[:, None])
+            close = (du <= 3.0) & (dv <= 3.0) & nb_valid[None, :]
+            if not close.any():
+                continue
+            signed_nb = _signed(m.kf_desc[nb])
+            ham = 0.5 * (256 - signed_own.astype(np.float32)
+                         @ signed_nb.astype(np.float32).T)
+            ham = np.where(close, ham, 1e9)
+            best_slot = ham.argmin(1)
+            best_dist = ham.min(1)
+            for i in np.nonzero(vis & (best_dist <= self.cfg.matcher.th_low))[0]:
+                pid_own = int(own_pids[i])
+                slot = int(best_slot[i])
+                other = int(m.kf_obs_pt[nb, slot])
+                if other < 0:
+                    # Unclaimed keypoint: extend this point's track.
+                    if m.pt_valid[pid_own]:
+                        m.kf_obs_pt[nb, slot] = pid_own
+                        m._add_observation(pid_own, int(nb), slot)
+                elif other != pid_own and m.pt_valid[other] and m.pt_valid[pid_own]:
+                    # Duplicate landmark: keep the better-observed one.
+                    keep, drop = (pid_own, other) \
+                        if m.point_observation_count([pid_own])[0] \
+                        >= m.point_observation_count([other])[0] \
+                        else (other, pid_own)
+                    m.replace_point(drop, keep)
+        m.update_covisibility(kf_id)
+
+    # ------------------------------------------------------------------ #
+
+    def run_local_ba(self, kf_id: int) -> None:
+        """Assemble the covisibility window and dispatch the jitted BA."""
+        m = self.map
+        opt_kfs = np.concatenate([[kf_id],
+                                  m.best_covisible(kf_id, WINDOW_KF // 2 - 1)])
+        opt_kfs = np.unique(opt_kfs)[:WINDOW_KF // 2]
+        opt_set = set(int(k) for k in opt_kfs)
+
+        pts = m.local_map_points(opt_kfs, WINDOW_PT)
+        pts = pts[pts >= 0]
+
+        # Fixed frontier: other KFs observing window points
+        # (Optimizer.cc:490-504).
+        obs_kfs = np.unique(m.pt_obs_kf[pts])
+        obs_kfs = obs_kfs[obs_kfs >= 0]
+        frontier = np.array([k for k in obs_kfs if int(k) not in opt_set],
+                            dtype=np.int64)[:WINDOW_KF - len(opt_kfs)]
+        window = np.concatenate([opt_kfs, frontier]).astype(np.int64)
+        # Always anchor: fix the oldest KF in the window; plus frontier.
+        fixed = np.zeros(len(window), bool)
+        fixed[len(opt_kfs):] = True
+        fixed[np.argmin(window)] = True
+        kf_index = {int(k): i for i, k in enumerate(window)}
+
+        K, P, M = WINDOW_KF, WINDOW_PT, WINDOW_OBS
+        kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        kf_t = np.zeros((K, 3), np.float32)
+        kf_fixed = np.ones(K, bool)
+        kf_valid = np.zeros(K, bool)
+        kf_R[:len(window)] = m.kf_R[window]
+        kf_t[:len(window)] = m.kf_t[window]
+        kf_fixed[:len(window)] = fixed
+        kf_valid[:len(window)] = True
+
+        n_pts = min(len(pts), P)
+        pts = pts[:n_pts]
+        pt_pos = np.zeros((P, 3), np.float32)
+        pt_valid = np.zeros(P, bool)
+        pt_pos[:n_pts] = m.pt_pos[pts]
+        pt_valid[:n_pts] = True
+
+        obs_kf = np.full((P, M), -1, np.int32)
+        obs_uvr = np.zeros((P, M, 3), np.float32)
+        obs_w = np.ones((P, M), np.float32)
+        obs_valid = np.zeros((P, M), bool)
+
+        # Vectorized observation-table fill from the point back-references.
+        okf = m.pt_obs_kf[pts]          # [n, MAX_OBS]
+        oslot = m.pt_obs_slot[pts]
+        in_window = np.isin(okf, window) & (okf >= 0)
+        sf2 = (self.cfg.orb.scale_factor ** 2)
+        for i in range(n_pts):
+            cols = np.nonzero(in_window[i])[0][:M]
+            for j, c in enumerate(cols):
+                k_global = int(okf[i, c])
+                s = int(oslot[i, c])
+                obs_kf[i, j] = kf_index[k_global]
+                uv = m.kf_uv[k_global, s]
+                ur = m.kf_ur[k_global, s]
+                obs_uvr[i, j] = (uv[0], uv[1], ur)
+                obs_w[i, j] = 1.0 / (sf2 ** m.kf_level[k_global, s])
+                obs_valid[i, j] = True
+
+        prob = local_ba.BAProblem(
+            kf_R=jnp.asarray(kf_R), kf_t=jnp.asarray(kf_t),
+            kf_fixed=jnp.asarray(kf_fixed), kf_valid=jnp.asarray(kf_valid),
+            pt_pos=jnp.asarray(pt_pos), pt_valid=jnp.asarray(pt_valid),
+            obs_kf=jnp.asarray(obs_kf), obs_uvr=jnp.asarray(obs_uvr),
+            obs_w=jnp.asarray(obs_w), obs_valid=jnp.asarray(obs_valid))
+        result = self._jit_ba(prob)
+
+        # Write back poses + points.
+        new_R = np.asarray(result.kf_R)[:len(window)]
+        new_t = np.asarray(result.kf_t)[:len(window)]
+        for i, k in enumerate(window):
+            if not fixed[i]:
+                m.set_keyframe_pose(int(k), new_R[i], new_t[i])
+        m.pt_pos[pts] = np.asarray(result.pt_pos)[:n_pts]
+
+        # Erase gated-out observations (Optimizer.cc:711-757).
+        ov = np.asarray(result.obs_valid)[:n_pts]
+        for i in range(n_pts):
+            cols = np.nonzero(in_window[i])[0][:M]
+            for j, c in enumerate(cols):
+                if not ov[i, j] and obs_kf[i, j] >= 0:
+                    m._remove_observation(int(pts[i]), int(okf[i, c]))
+                    # also clear the forward reference
+                    kf_g, s = int(okf[i, c]), int(oslot[i, c])
+                    if m.kf_obs_pt[kf_g, s] == pts[i]:
+                        m.kf_obs_pt[kf_g, s] = -1
+
+    # ------------------------------------------------------------------ #
+
+    def cull_keyframes(self, kf_id: int) -> None:
+        """KeyFrameCulling (LocalMapping.cc:633-697): a covisible KF whose
+        points are >=90% observed by >=3 other KFs at the same-or-finer scale
+        is redundant."""
+        m = self.map
+        cfg = self.cfg.mapping
+        for k in m.best_covisible(kf_id, 10):
+            k = int(k)
+            if k == 0 or not m.kf_valid[k]:
+                continue
+            obs = m.kf_obs_pt[k]
+            slots = np.nonzero(obs >= 0)[0]
+            if len(slots) < 50:
+                continue
+            pids = obs[slots]
+            counts = m.point_observation_count(pids)
+            redundant = (counts >= cfg.kf_cull_min_obs + 1).sum()
+            if redundant > cfg.kf_cull_redundancy_ratio * len(slots):
+                m.remove_keyframe(k)
+
+
+def _signed(desc_u8: np.ndarray) -> np.ndarray:
+    bits = np.unpackbits(desc_u8, axis=1, bitorder="little")
+    return (bits.astype(np.int8) * 2 - 1)

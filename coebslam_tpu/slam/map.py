@@ -1,0 +1,307 @@
+"""Fixed-capacity map arena: keyframes, points, observations, covisibility.
+
+The TPU-native replacement for the reference's pointer graph (`Map` +
+`KeyFrame` + `MapPoint`, SURVEY §2.1 rows Map/KeyFrame/MapPoint): instead of
+std::set<KeyFrame*> with per-object mutexes, the map is a set of
+fixed-capacity SoA arrays with validity masks, mutated only by the host
+orchestration thread (device steps are pure functions of snapshots, so the
+reference's whole mutex protocol disappears).  Erase becomes mask-clearing;
+`SetBadFlag` becomes a vectorized back-reference sweep.
+
+Bookkeeping (covisibility counting, culling, local-map queries) is
+vectorized numpy on the host — pointer-chasing work the TPU is wrong for —
+while every array is laid out so device steps (matching, BA) can consume
+zero-copy snapshots.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import SystemConfig
+
+MAX_OBS_PER_POINT = 32
+
+
+class MapArena:
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        K = cfg.map.max_keyframes
+        P = cfg.map.max_points
+        N = cfg.orb.max_keypoints
+
+        # --- keyframes ---
+        self.kf_R = np.zeros((K, 3, 3), np.float32)
+        self.kf_t = np.zeros((K, 3), np.float32)
+        self.kf_stamp = np.zeros(K, np.float64)
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_uv = np.zeros((K, N, 2), np.float32)
+        self.kf_level = np.zeros((K, N), np.int32)
+        self.kf_angle = np.zeros((K, N), np.float32)
+        self.kf_desc = np.zeros((K, N, 32), np.uint8)
+        self.kf_depth = np.zeros((K, N), np.float32)
+        self.kf_ur = np.full((K, N), -1.0, np.float32)
+        self.kf_kp_valid = np.zeros((K, N), bool)
+        # point id observed at each keypoint slot, -1 = none.
+        self.kf_obs_pt = np.full((K, N), -1, np.int32)
+        # covisibility weight matrix (shared-point counts, KeyFrame
+        # covisibility graph, KeyFrame.cc:289-379).
+        self.covis = np.zeros((K, K), np.int32)
+        # spanning tree parent (first covis connection, KeyFrame.cc:371-376).
+        self.kf_parent = np.full(K, -1, np.int32)
+        self.n_kf = 0
+
+        # --- map points ---
+        self.pt_pos = np.zeros((P, 3), np.float32)
+        self.pt_valid = np.zeros(P, bool)
+        self.pt_desc = np.zeros((P, 32), np.uint8)
+        self.pt_normal = np.zeros((P, 3), np.float32)
+        self.pt_min_dist = np.zeros(P, np.float32)
+        self.pt_max_dist = np.zeros(P, np.float32)
+        self.pt_angle = np.zeros(P, np.float32)    # representative kp angle
+        self.pt_found = np.zeros(P, np.int32)      # MapPoint::IncreaseFound
+        self.pt_visible = np.zeros(P, np.int32)    # MapPoint::IncreaseVisible
+        self.pt_first_kf = np.full(P, -1, np.int32)
+        # observation back-references: (kf, slot) pairs per point.
+        self.pt_obs_kf = np.full((P, MAX_OBS_PER_POINT), -1, np.int32)
+        self.pt_obs_slot = np.full((P, MAX_OBS_PER_POINT), -1, np.int32)
+        self.n_pt = 0
+        self._free_pt: List[int] = []   # recycled point ids
+
+    # ------------------------------------------------------------------ #
+    # keyframes
+    # ------------------------------------------------------------------ #
+
+    def add_keyframe(self, R_cw, t_cw, stamp, uv, level, angle, desc, depth,
+                     ur, kp_valid, point_ids) -> int:
+        """Insert a keyframe snapshot; wires observations + covisibility.
+
+        Args:
+          point_ids: [N] int32 — map-point id per keypoint slot (-1 none).
+        Returns the new keyframe id.
+        """
+        k = self.n_kf
+        if k >= self.kf_R.shape[0]:
+            raise RuntimeError("keyframe arena full")
+        self.kf_R[k] = R_cw
+        self.kf_t[k] = t_cw
+        self.kf_stamp[k] = stamp
+        self.kf_uv[k] = uv
+        self.kf_level[k] = level
+        self.kf_angle[k] = angle
+        self.kf_desc[k] = desc
+        self.kf_depth[k] = depth
+        self.kf_ur[k] = ur
+        self.kf_kp_valid[k] = kp_valid
+        self.kf_valid[k] = True
+        self.n_kf += 1
+
+        pid = np.asarray(point_ids, np.int32).copy()
+        pid[~np.asarray(kp_valid, bool)] = -1
+        self.kf_obs_pt[k] = pid
+        slots = np.nonzero(pid >= 0)[0]
+        for s in slots:
+            self._add_observation(int(pid[s]), k, int(s))
+        self.update_covisibility(k)
+        return k
+
+    def update_covisibility(self, k: int) -> None:
+        """Recount shared points between KF k and all others; set spanning
+        parent on first connection (weight threshold 15, KeyFrame.cc:330)."""
+        obs = self.kf_obs_pt[k]
+        observed = obs[obs >= 0]
+        if len(observed) == 0:
+            return
+        mask = np.zeros(self.pt_pos.shape[0], bool)
+        mask[observed] = True
+        other = self.kf_obs_pt[:self.n_kf]            # [K', N]
+        shared = (mask[np.clip(other, 0, None)] & (other >= 0)).sum(1)
+        shared[k] = 0
+        self.covis[k, :self.n_kf] = shared
+        self.covis[:self.n_kf, k] = shared
+        if self.kf_parent[k] < 0 and shared.max(initial=0) > 0:
+            self.kf_parent[k] = int(np.argmax(shared))
+
+    def covisible_keyframes(self, k: int, min_weight: int = 1,
+                            top: Optional[int] = None) -> np.ndarray:
+        w = self.covis[k, :self.n_kf] * self.kf_valid[:self.n_kf]
+        ids = np.nonzero(w >= min_weight)[0]
+        ids = ids[np.argsort(-w[ids])]
+        if top is not None:
+            ids = ids[:top]
+        return ids
+
+    def best_covisible(self, k: int, n: int) -> np.ndarray:
+        """GetBestCovisibilityKeyFrames equivalent."""
+        return self.covisible_keyframes(k, min_weight=1, top=n)
+
+    def remove_keyframe(self, k: int) -> None:
+        """SetBadFlag for keyframes: clear observations + covis row; orphan
+        children re-parent to their best remaining covisible neighbor
+        (KeyFrame.cc:453-540, simplified to best-covis re-parenting)."""
+        obs = self.kf_obs_pt[k]
+        for s in np.nonzero(obs >= 0)[0]:
+            self._remove_observation(int(obs[s]), k)
+        self.kf_obs_pt[k] = -1
+        self.kf_valid[k] = False
+        self.covis[k, :] = 0
+        self.covis[:, k] = 0
+        children = np.nonzero(self.kf_parent[:self.n_kf] == k)[0]
+        for c in children:
+            nb = self.covisible_keyframes(int(c), min_weight=1, top=1)
+            self.kf_parent[c] = int(nb[0]) if len(nb) else self.kf_parent[k]
+
+    # ------------------------------------------------------------------ #
+    # points
+    # ------------------------------------------------------------------ #
+
+    def add_points(self, positions, descs, first_kf: int,
+                   normals=None, min_dists=None, max_dists=None,
+                   angles=None) -> np.ndarray:
+        """Batch-create map points; returns their ids ([-1 where arena full])."""
+        positions = np.atleast_2d(positions)
+        m = len(positions)
+        ids = np.full(m, -1, np.int32)
+        for i in range(m):
+            if self._free_pt:
+                p = self._free_pt.pop()
+            elif self.n_pt < self.pt_pos.shape[0]:
+                p = self.n_pt
+                self.n_pt += 1
+            else:
+                break
+            ids[i] = p
+            self.pt_pos[p] = positions[i]
+            self.pt_desc[p] = descs[i]
+            self.pt_valid[p] = True
+            self.pt_found[p] = 1
+            self.pt_visible[p] = 1
+            self.pt_first_kf[p] = first_kf
+            self.pt_obs_kf[p] = -1
+            self.pt_obs_slot[p] = -1
+            if angles is not None:
+                self.pt_angle[p] = angles[i]
+            if normals is not None:
+                self.pt_normal[p] = normals[i]
+            if min_dists is not None:
+                self.pt_min_dist[p] = min_dists[i]
+                self.pt_max_dist[p] = max_dists[i]
+        return ids
+
+    def _add_observation(self, pid: int, kf: int, slot: int) -> None:
+        row = self.pt_obs_kf[pid]
+        free = np.nonzero(row < 0)[0]
+        if len(free) == 0:
+            return
+        self.pt_obs_kf[pid, free[0]] = kf
+        self.pt_obs_slot[pid, free[0]] = slot
+
+    def _remove_observation(self, pid: int, kf: int) -> None:
+        sel = self.pt_obs_kf[pid] == kf
+        self.pt_obs_kf[pid, sel] = -1
+        self.pt_obs_slot[pid, sel] = -1
+        if not (self.pt_obs_kf[pid] >= 0).any():
+            self.remove_point(pid)
+
+    def point_observation_count(self, pids) -> np.ndarray:
+        return (self.pt_obs_kf[pids] >= 0).sum(-1)
+
+    def remove_point(self, pid: int) -> None:
+        """MapPoint::SetBadFlag — clear forward references from keyframes."""
+        kfs = self.pt_obs_kf[pid]
+        slots = self.pt_obs_slot[pid]
+        for kf, s in zip(kfs, slots):
+            if kf >= 0:
+                self.kf_obs_pt[kf, s] = -1
+        self.pt_obs_kf[pid] = -1
+        self.pt_obs_slot[pid] = -1
+        self.pt_valid[pid] = False
+        self._free_pt.append(pid)
+
+    def replace_point(self, old: int, new: int) -> None:
+        """MapPoint::Replace — redirect observations of `old` to `new`
+        (used by Fuse dedup)."""
+        kfs = self.pt_obs_kf[old].copy()
+        slots = self.pt_obs_slot[old].copy()
+        self.pt_found[new] += self.pt_found[old]
+        self.pt_visible[new] += self.pt_visible[old]
+        for kf, s in zip(kfs, slots):
+            if kf < 0:
+                continue
+            if (self.pt_obs_kf[new] == kf).any():
+                # new already observed in this KF: drop the duplicate slot.
+                self.kf_obs_pt[kf, s] = -1
+            else:
+                self.kf_obs_pt[kf, s] = new
+                self._add_observation(new, kf, int(s))
+        self.pt_obs_kf[old] = -1
+        self.pt_obs_slot[old] = -1
+        self.pt_valid[old] = False
+        self._free_pt.append(old)
+
+    def update_point_stats(self, pids) -> None:
+        """Recompute distinctive descriptor + normal + scale band for the
+        given points (MapPoint::ComputeDistinctiveDescriptors min-median-
+        Hamming, MapPoint.cc:287-298; UpdateNormalAndDepth, 367-368)."""
+        sf = self.cfg.orb.scale_factor
+        n_levels = self.cfg.orb.n_levels
+        for pid in np.atleast_1d(pids):
+            kfs = self.pt_obs_kf[pid]
+            sel = kfs >= 0
+            if not sel.any():
+                continue
+            kf_ids = kfs[sel]
+            slots = self.pt_obs_slot[pid][sel]
+            descs = self.kf_desc[kf_ids, slots]          # [m, 32]
+            bits = np.unpackbits(descs, axis=1)
+            ham = (bits[:, None, :] != bits[None, :, :]).sum(-1)
+            med = np.median(ham, axis=1)
+            best = int(np.argmin(med))
+            self.pt_desc[pid] = descs[best]
+            self.pt_angle[pid] = self.kf_angle[kf_ids[best], slots[best]]
+            # Normal: mean unit vector from observing camera centres.
+            Rk = self.kf_R[kf_ids]
+            tk = self.kf_t[kf_ids]
+            centers = -np.einsum("kji,kj->ki", Rk, tk)   # -R^T t
+            vecs = self.pt_pos[pid][None] - centers
+            norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
+            vecs = vecs / np.maximum(norms, 1e-9)
+            nrm = vecs.mean(0)
+            self.pt_normal[pid] = nrm / max(np.linalg.norm(nrm), 1e-9)
+            # Scale-invariance band from the reference KF's level
+            # (MapPoint.cc:376-382: 0.8*min / 1.2*max handled at query time).
+            ref_i = 0
+            dist = float(norms[ref_i, 0])
+            level = int(self.kf_level[kf_ids[ref_i], slots[ref_i]])
+            self.pt_max_dist[pid] = dist * (sf ** level)
+            self.pt_min_dist[pid] = self.pt_max_dist[pid] / (sf ** (n_levels - 1))
+
+    # ------------------------------------------------------------------ #
+    # queries
+    # ------------------------------------------------------------------ #
+
+    def local_map_points(self, kf_ids, cap: int) -> np.ndarray:
+        """All valid points observed by the given keyframes, padded/truncated
+        to ``cap`` (Tracking::UpdateLocalPoints semantics)."""
+        if len(kf_ids) == 0:
+            return np.full(cap, -1, np.int32)
+        pts = np.unique(self.kf_obs_pt[kf_ids])
+        pts = pts[(pts >= 0)]
+        pts = pts[self.pt_valid[pts]]
+        out = np.full(cap, -1, np.int32)
+        out[:min(len(pts), cap)] = pts[:cap]
+        return out
+
+    def keyframe_pose(self, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self.kf_R[k], self.kf_t[k]
+
+    def set_keyframe_pose(self, k: int, R, t) -> None:
+        self.kf_R[k] = R
+        self.kf_t[k] = t
+
+    def valid_keyframes(self) -> np.ndarray:
+        return np.nonzero(self.kf_valid[:self.n_kf])[0]
+
+    def valid_points(self) -> np.ndarray:
+        return np.nonzero(self.pt_valid[:self.n_pt])[0]

@@ -1,0 +1,507 @@
+"""Tracking: the per-frame state machine + jitted device tracking steps.
+
+TPU-native re-design of `Tracking.cc` (SURVEY §2.1 Tracking row, call stack
+§3.1).  The lost/init/OK state machine and keyframe policy live on the host
+(SURVEY §7.3 hard part 4: control flow fights jit), but each state's body is
+a single fused device program:
+
+  frontend  : extract + depth associate               (slam/frame.py)
+  track step: project -> MXU Hamming match -> robust pose GN
+              (replaces SearchByProjection + PoseOptimization)
+
+The reference runs three separate searches (motion model vs last frame,
+BoW vs reference KF, projection vs local map).  Here both tracking stages
+are the same jitted function against different point sets and radii:
+stage 1 vs the last frame's map points with a wide window (TrackWithMotion
+Model, Tracking.cc:933), stage 2 vs the covisibility local map with a tight
+window (TrackLocalMap/SearchLocalPoints, Tracking.cc:996/1222).
+
+The COEB adaptive feature budget (Tracking.cc:417-466) is a traced scalar:
+growing it masks in more extraction quota — no extractor rebuild, no
+recompile.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..geometry import camera as cam_ops
+from ..geometry import se3
+from ..geometry.se3 import SE3
+from ..optim import pose_gn
+from ..ops import brief, matching
+from . import frame as frame_mod
+from .frame import FrameData
+from .map import MapArena
+
+LOCAL_MAP_CAP = 4096
+
+# Tracking states (Tracking.h:81-87).
+NOT_INITIALIZED = "NOT_INITIALIZED"
+OK = "OK"
+LOST = "LOST"
+
+
+class TrackStepResult(NamedTuple):
+    pose: SE3
+    point_idx: jnp.ndarray     # [N] index into the point set (-1 no match)
+    inliers: jnp.ndarray       # [N] bool
+    n_inliers: jnp.ndarray     # int32
+    n_matches: jnp.ndarray     # int32
+
+
+def track_step(frame: FrameData, pose_pred: SE3, pts_w, pt_signed_desc,
+               pt_valid, pt_angle, pt_normal, pt_min_dist, pt_max_dist,
+               radius, cfg: SystemConfig) -> TrackStepResult:
+    """Project-match-optimize against an arbitrary point set.  Jittable.
+
+    Args:
+      pts_w: [M, 3] candidate map points (world).
+      pt_signed_desc: [M, 256] +-1 bf16 descriptors.
+      pt_valid: [M] bool.
+      pt_normal / pt_min_dist / pt_max_dist: viewing-direction and
+        scale-invariance band per point (MapPoint::UpdateNormalAndDepth /
+        PredictScale semantics, MapPoint.cc:367-411).
+      radius: scalar search radius in px (level-0 scale).
+    """
+    cam = cfg.camera
+    pc = se3.transform_points(pose_pred, pts_w)
+    uvr = cam_ops.project_stereo(cam, pc)
+    vis = pt_valid & cam_ops.in_frustum(cam, pc, margin=radius)
+
+    # Frame::isInFrustum gates (Frame.cc:445): distance inside the scale-
+    # invariance band and viewing angle within 60 deg of the point normal.
+    center = -jnp.einsum("ji,j->i", pose_pred.R, pose_pred.t)
+    vec = pts_w - center
+    dist = jnp.linalg.norm(vec, axis=-1)
+    dist_ok = (dist > 0.8 * pt_min_dist) & (dist < 1.2 * pt_max_dist)
+    view_cos = jnp.einsum("mi,mi->m", vec / jnp.maximum(dist, 1e-9)[:, None],
+                          pt_normal)
+    vis = vis & dist_ok & (view_cos > 0.5)
+
+    d = matching.hamming_matrix(frame.feats.signed_desc(), pt_signed_desc)
+    # Window: frame keypoint within `radius * level_scale` of the projection.
+    scale = cfg.orb.scale_factor ** frame.feats.level.astype(jnp.float32)
+    dx = jnp.abs(frame.feats.uv[:, None, 0] - uvr[None, :, 0])
+    dy = jnp.abs(frame.feats.uv[:, None, 1] - uvr[None, :, 1])
+    r = radius * scale[:, None]
+    d = d + jnp.where((dx <= r) & (dy <= r), 0.0, matching.BIG)
+
+    # PredictScale octave compatibility (MapPoint.cc:385-411 +
+    # SearchByProjection octave windows, ORBmatcher.cc:1386-1412): the
+    # keypoint's pyramid level must be within +-1 of the level predicted
+    # from the current viewing distance.
+    log_sf = jnp.log(jnp.float32(cfg.orb.scale_factor))
+    pred_level = jnp.ceil(
+        jnp.log(jnp.maximum(pt_max_dist, 1e-6)
+                / jnp.maximum(dist, 1e-6)) / log_sf)
+    pred_level = jnp.clip(pred_level, 0, cfg.orb.n_levels - 1)
+    level_diff = frame.feats.level[:, None].astype(jnp.float32) - pred_level[None, :]
+    d = d + jnp.where(jnp.abs(level_diff) <= 1.0, 0.0, matching.BIG)
+
+    # mutual=True keeps assignments one-to-one: the reference's point-centric
+    # SearchByProjection writes each point into at most one keypoint slot;
+    # slot-wise argmin alone lets several slots claim the same point, and the
+    # losers are guaranteed-false matches that bias the solve.
+    res = matching.match(d, max_distance=cfg.matcher.th_high,
+                         ratio=cfg.matcher.nn_ratio_tracking, mutual=True,
+                         row_valid=frame.feats.valid, col_valid=vis)
+    if cfg.matcher.check_orientation:
+        res = matching.rotation_consistency(frame.feats.angle, pt_angle, res,
+                                            cfg.matcher.histo_length)
+
+    X = pts_w[jnp.clip(res.idx, 0)]
+    opt = pose_gn.optimize_pose(pose_pred, X, frame.obs, frame.inv_sigma2,
+                                res.valid, cam, cfg.optimizer)
+    idx = jnp.where(opt.inliers, res.idx, -1)
+    return TrackStepResult(pose=opt.pose, point_idx=idx,
+                           inliers=opt.inliers, n_inliers=opt.n_inliers,
+                           n_matches=res.valid.sum().astype(jnp.int32))
+
+
+@dataclass
+class TrackerState:
+    mode: str = NOT_INITIALIZED
+    pose_R: np.ndarray = field(default_factory=lambda: np.eye(3, dtype=np.float32))
+    pose_t: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    vel_R: np.ndarray = field(default_factory=lambda: np.eye(3, dtype=np.float32))
+    vel_t: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    has_velocity: bool = False
+    last_kf: int = -1
+    frames_since_kf: int = 0
+    frame_idx: int = 0
+    # COEB adaptive budget counters (Tracking.h:89-98).
+    budget: int = 1000
+    consec_ok: int = 0
+    strong_frames: int = 0
+    n_lost_frames: int = 0
+    peak_inliers_since_kf: int = 0
+
+
+class FrameRecord(NamedTuple):
+    """Host copy of per-frame data needed across frames."""
+    uv: np.ndarray
+    level: np.ndarray
+    angle: np.ndarray
+    desc: np.ndarray
+    depth: np.ndarray
+    ur: np.ndarray
+    valid: np.ndarray
+    point_ids: np.ndarray      # map point id per slot (-1 none)
+
+
+class Tracker:
+    """Host orchestration for RGB-D tracking (System + Tracking facade of the
+    MVP slice; local mapping / loop closing attach on top)."""
+
+    def __init__(self, cfg: SystemConfig, map_arena: Optional[MapArena] = None):
+        self.cfg = cfg
+        self.map = map_arena if map_arena is not None else MapArena(cfg)
+        self.state = TrackerState(budget=cfg.orb.n_features)
+        self.last_frame: Optional[FrameRecord] = None
+        self.trajectory = []        # list of (stamp, R_cw, t_cw)
+        self.ref_kf: int = -1
+        self.on_keyframe = None     # callback(kf_id) — local mapping hook
+
+        # Static config is closed over (frozen dataclasses are not pytrees).
+        self._jit_frontend = jax.jit(
+            lambda g, d, n: frame_mod.process_rgbd(g, d, cfg.camera, cfg.orb,
+                                                   n_features=n))
+        self._jit_frontend_masked = jax.jit(
+            lambda g, d, n, m, a: frame_mod.process_rgbd(
+                g, d, cfg.camera, cfg.orb, n_features=n,
+                dynamic_mask=m, area_mode=a))
+        self._jit_track = jax.jit(
+            lambda fd, pp, pts, sd, pv, pa, pn, pmin, pmax, r: track_step(
+                fd, pp, pts, sd, pv, pa, pn, pmin, pmax, r, cfg))
+
+    # ------------------------------------------------------------------ #
+
+    def process_frame(self, gray, depth, stamp: float,
+                      dynamic_mask=None, area_mode: bool = False):
+        """Track one RGB-D frame.  Returns (state_str, n_inliers)."""
+        budget = jnp.int32(self.state.budget)
+        if dynamic_mask is not None:
+            fd: FrameData = self._jit_frontend_masked(
+                jnp.asarray(gray), jnp.asarray(depth), budget,
+                jnp.asarray(dynamic_mask), jnp.bool_(area_mode))
+        else:
+            fd = self._jit_frontend(jnp.asarray(gray), jnp.asarray(depth),
+                                    budget)
+
+        if self.state.mode == NOT_INITIALIZED:
+            n = self._initialize(fd, stamp)
+            self._record_pose(stamp)
+            return self.state.mode, n
+
+        n_inliers = self._track(fd, stamp)
+        self._apply_adaptive_budget(n_inliers)
+        self._record_pose(stamp)
+        self.state.frame_idx += 1
+        return self.state.mode, n_inliers
+
+    # ------------------------------------------------------------------ #
+
+    def _initialize(self, fd: FrameData, stamp: float) -> int:
+        """StereoInitialization (Tracking.cc:577-629): need enough features,
+        spawn map points for every keypoint with depth."""
+        n_feat = int(fd.feats.valid.sum())
+        if n_feat < 500:
+            return n_feat
+        rec = self._to_record(fd)
+        has_depth = rec.valid & (rec.depth > 0)
+        pose = SE3(jnp.asarray(self.state.pose_R), jnp.asarray(self.state.pose_t))
+        pts_c = cam_ops.unproject(self.cfg.camera,
+                                  jnp.asarray(rec.uv[has_depth]),
+                                  jnp.asarray(rec.depth[has_depth]))
+        pts_w = np.asarray(se3.transform_points(pose.inverse(), pts_c))
+        ids = self.map.add_points(pts_w, rec.desc[has_depth], first_kf=0,
+                                  angles=rec.angle[has_depth])
+        point_ids = np.full(rec.uv.shape[0], -1, np.int32)
+        point_ids[np.nonzero(has_depth)[0][ids >= 0]] = ids[ids >= 0]
+        kf = self.map.add_keyframe(
+            self.state.pose_R, self.state.pose_t, stamp, rec.uv, rec.level,
+            rec.angle, rec.desc, rec.depth, rec.ur, rec.valid, point_ids)
+        self.map.update_point_stats(ids[ids >= 0])
+        self.last_frame = rec._replace(point_ids=point_ids)
+        self.ref_kf = kf
+        self.state.last_kf = kf
+        self.state.frames_since_kf = 0
+        self.state.mode = OK
+        if self.on_keyframe:
+            self.on_keyframe(kf)
+        return n_feat
+
+    # ------------------------------------------------------------------ #
+
+    def _track(self, fd: FrameData, stamp: float) -> int:
+        cfg = self.cfg
+        st = self.state
+        pose_last = SE3(jnp.asarray(st.pose_R), jnp.asarray(st.pose_t))
+        if st.has_velocity:
+            vel = SE3(jnp.asarray(st.vel_R), jnp.asarray(st.vel_t))
+            pose_pred = vel.compose(pose_last)
+        else:
+            pose_pred = pose_last
+
+        # ---- stage 1: vs last frame's map points (TrackWithMotionModel) ----
+        lp = self.last_frame.point_ids
+        stage1_ids = self._pad_ids(lp[lp >= 0], lp.shape[0])
+        res1 = self._run_track(fd, pose_pred, stage1_ids,
+                               cfg.matcher.radius_motion_model)
+        if int(res1.n_inliers) < 30:
+            # Widened retry from the unextrapolated pose — the reference's
+            # 2x-window retry when the motion model finds <20 matches
+            # (Tracking.cc:956-966).
+            wide = self._run_track(fd, pose_last, stage1_ids,
+                                   2.0 * cfg.matcher.radius_motion_model)
+            if int(wide.n_inliers) > int(res1.n_inliers):
+                res1 = wide
+        pose = res1.pose
+        if int(res1.n_inliers) < cfg.tracking.min_inliers_track:
+            # Fallback: relocalization-style wide search vs reference KF
+            # points (stands in for SearchByBoW + reloc until the BoW module
+            # lands).
+            ref_ids = self.map.kf_obs_pt[self.ref_kf]
+            ref_ids = self._pad_ids(ref_ids[ref_ids >= 0], lp.shape[0])
+            res1 = self._run_track(fd, pose_last, ref_ids, 50.0)
+            pose = res1.pose
+            if int(res1.n_inliers) < cfg.tracking.min_inliers_track:
+                st.mode = LOST
+                st.n_lost_frames += 1
+                st.consec_ok = 0
+                st.has_velocity = False
+                return int(res1.n_inliers)
+
+        # ---- stage 2: vs covisibility local map (TrackLocalMap) ----
+        # Two match-solve iterations: a wide pass absorbs stage-1 error, a
+        # tight re-match refines (the reference gets the same effect from its
+        # viewing-angle-scaled radii + second PoseOptimization).
+        local_kfs = self._local_keyframes()
+        local_ids = self.map.local_map_points(local_kfs, LOCAL_MAP_CAP)
+        res2a = self._run_track(fd, pose, local_ids, 16.0)
+        if int(res2a.n_inliers) >= cfg.tracking.min_inliers_track:
+            pose = res2a.pose
+        res2 = self._run_track(fd, pose, local_ids, 6.0)
+        if int(res2.n_inliers) < int(res2a.n_inliers):
+            res2 = res2a
+        n_inliers = int(res2.n_inliers)
+
+        # Motion sanity gate (see TrackingConfig.max_translation_per_frame).
+        if not self._motion_plausible(res2.pose, pose_last):
+            st.mode = LOST
+            st.n_lost_frames += 1
+            st.consec_ok = 0
+            st.has_velocity = False
+            return 0
+        self.debug_info = {
+            "s1_inl": int(res1.n_inliers), "s1_match": int(res1.n_matches),
+            "s2a_inl": int(res2a.n_inliers), "s2_inl": int(res2.n_inliers),
+            "n_local": int((local_ids >= 0).sum()),
+        }
+
+        if n_inliers < cfg.tracking.min_inliers_track:
+            st.mode = LOST
+            st.n_lost_frames += 1
+            st.consec_ok = 0
+            st.has_velocity = False
+            return n_inliers
+
+        was_ok = st.mode == OK
+        st.mode = OK
+        st.consec_ok += 1
+        # Velocity update: vel = T_cur . T_last^-1 (Tracking.cc:528).  Only
+        # valid if the previous frame was tracked — after a LOST outage the
+        # stored pose is stale and the quotient is not a per-frame velocity.
+        new_R = np.asarray(res2.pose.R)
+        new_t = np.asarray(res2.pose.t)
+        if was_ok:
+            last_T = SE3(jnp.asarray(st.pose_R), jnp.asarray(st.pose_t))
+            vel = res2.pose.compose(last_T.inverse())
+            st.vel_R, st.vel_t = np.asarray(vel.R), np.asarray(vel.t)
+            st.has_velocity = True
+        else:
+            st.has_velocity = False
+        st.pose_R, st.pose_t = new_R, new_t
+
+        # Found/visible bookkeeping for culling.
+        matched = np.asarray(res2.point_idx)
+        sel = matched >= 0
+        pids = local_ids[matched[sel]]
+        self.map.pt_found[pids[pids >= 0]] += 1
+        self.map.pt_visible[local_ids[local_ids >= 0]] += 1
+
+        # Frame record with final local-map associations.
+        rec = self._to_record(fd)
+        point_ids = np.full(rec.uv.shape[0], -1, np.int32)
+        point_ids[sel] = local_ids[matched[sel]]
+        rec = rec._replace(point_ids=point_ids)
+        self.last_frame = rec
+
+        st.frames_since_kf += 1
+        st.peak_inliers_since_kf = max(st.peak_inliers_since_kf, n_inliers)
+        if self._need_keyframe(rec, n_inliers):
+            self._create_keyframe(rec, stamp)
+            st.peak_inliers_since_kf = n_inliers
+        return n_inliers
+
+    # ------------------------------------------------------------------ #
+
+    def _motion_plausible(self, pose_new: SE3, pose_last: SE3) -> bool:
+        """Reject solves that jump implausibly far in one frame.  While LOST
+        the allowance grows with the outage length so relocalization can
+        re-attach after the camera moved on."""
+        t = self.cfg.tracking
+        scale = 1.0 + (self.state.n_lost_frames if self.state.mode == LOST else 0)
+        d = pose_new.compose(pose_last.inverse())
+        dt = float(jnp.linalg.norm(d.t))
+        tr = float(jnp.trace(d.R))
+        ang = float(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+        self.debug_motion = (dt, ang)
+        return (dt <= t.max_translation_per_frame * scale
+                and ang <= t.max_rotation_per_frame * scale)
+
+    def _run_track(self, fd, pose_pred, point_ids, radius) -> TrackStepResult:
+        pts_w = jnp.asarray(self.map.pt_pos[np.clip(point_ids, 0, None)])
+        pt_valid = jnp.asarray((point_ids >= 0)
+                               & self.map.pt_valid[np.clip(point_ids, 0, None)])
+        signed = brief.to_signed(brief.unpack_bits(
+            jnp.asarray(self.map.pt_desc[np.clip(point_ids, 0, None)])))
+        idx = np.clip(point_ids, 0, None)
+        angles = jnp.asarray(self.map.pt_angle[idx])
+        normals = jnp.asarray(self.map.pt_normal[idx])
+        dmin = jnp.asarray(self.map.pt_min_dist[idx])
+        dmax = jnp.asarray(self.map.pt_max_dist[idx])
+        return self._jit_track(fd, pose_pred, pts_w, signed, pt_valid,
+                               angles, normals, dmin, dmax,
+                               jnp.float32(radius))
+
+    def _pad_ids(self, ids: np.ndarray, size: int) -> np.ndarray:
+        out = np.full(size, -1, np.int32)
+        out[:min(len(ids), size)] = ids[:size]
+        return out
+
+    def _local_keyframes(self) -> np.ndarray:
+        """Covisibility neighborhood of the reference KF, capped at 80
+        (Tracking::UpdateLocalKeyFrames, Tracking.cc:1309/1362)."""
+        if self.ref_kf < 0:
+            return np.zeros(0, np.int64)
+        nbrs = self.map.covisible_keyframes(self.ref_kf, min_weight=1,
+                                            top=self.cfg.tracking.max_local_keyframes - 1)
+        return np.unique(np.concatenate([[self.ref_kf], nbrs]))
+
+    def _need_keyframe(self, rec: FrameRecord, n_inliers: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:1049-1140), RGB-D branch."""
+        t = self.cfg.tracking
+        if self.map.n_kf >= self.cfg.map.max_keyframes - 1:
+            return False
+        ref_obs = self.map.kf_obs_pt[self.ref_kf]
+        ref_pts = ref_obs[ref_obs >= 0]
+        # nMinObs = 3 unless the map is young (Tracking.cc:1070-1073).
+        min_obs = 3 if self.map.n_kf > 2 else self.map.n_kf
+        n_ref = int((self.map.point_observation_count(ref_pts)
+                     >= min_obs).sum()) if len(ref_pts) else 0
+        # close points tracked / untracked (bNeedToInsertClose).
+        close = (rec.depth > 0) & (rec.depth < self.cfg.camera.depth_threshold)
+        tracked_close = int((close & (rec.point_ids >= 0)).sum())
+        untracked_close = int((close & (rec.point_ids < 0)).sum())
+        need_close = tracked_close < 100 and untracked_close > 70
+
+        c1a = self.state.frames_since_kf >= t.max_frames_between_kf
+        c1b = self.state.frames_since_kf >= t.min_frames_between_kf
+        # Relative-decay trigger: with a young map few points reach 3
+        # observations, so the nRefMatches ratio alone under-inserts; decay
+        # against the best inlier count seen since the last insertion catches
+        # the same "tracking is wearing out" signal the reference's ratio
+        # aims at.
+        decayed = n_inliers < t.kf_ref_ratio_stereo * self.state.peak_inliers_since_kf
+        c2 = (n_inliers < n_ref * t.kf_ref_ratio_stereo or decayed
+              or need_close) and n_inliers > t.min_inliers_kf
+        return bool((c1a or (c1b and c2)) and n_inliers > t.min_inliers_kf)
+
+    def _create_keyframe(self, rec: FrameRecord, stamp: float) -> None:
+        """CreateNewKeyFrame (Tracking.cc:1142-1212): insert KF; spawn map
+        points for close-depth keypoints without an association."""
+        cam = self.cfg.camera
+        spawn = rec.valid & (rec.point_ids < 0) & (rec.depth > 0)
+        # Reference: create all closer than thDepth, else closest 100.
+        close = spawn & (rec.depth < cam.depth_threshold)
+        if close.sum() < 100:
+            cand = np.nonzero(spawn)[0]
+            order = cand[np.argsort(rec.depth[cand])][:100]
+            sel = np.zeros_like(spawn)
+            sel[order] = True
+        else:
+            sel = close
+        point_ids = rec.point_ids.copy()
+        if sel.any():
+            pose = SE3(jnp.asarray(self.state.pose_R),
+                       jnp.asarray(self.state.pose_t))
+            pts_c = cam_ops.unproject(self.cfg.camera,
+                                      jnp.asarray(rec.uv[sel]),
+                                      jnp.asarray(rec.depth[sel]))
+            pts_w = np.asarray(se3.transform_points(pose.inverse(), pts_c))
+            ids = self.map.add_points(pts_w, rec.desc[sel],
+                                      first_kf=self.map.n_kf,
+                                      angles=rec.angle[sel])
+            point_ids[np.nonzero(sel)[0][ids >= 0]] = ids[ids >= 0]
+
+        kf = self.map.add_keyframe(
+            self.state.pose_R, self.state.pose_t, stamp, rec.uv, rec.level,
+            rec.angle, rec.desc, rec.depth, rec.ur, rec.valid, point_ids)
+        new_ids = point_ids[point_ids >= 0]
+        self.map.update_point_stats(new_ids)
+        self.ref_kf = kf
+        self.state.last_kf = kf
+        self.state.frames_since_kf = 0
+        self.last_frame = rec._replace(point_ids=point_ids)
+        if self.on_keyframe:
+            self.on_keyframe(kf)
+            # Local BA may have refined this keyframe's pose; the tracker
+            # must follow it or the next prediction fights the updated map
+            # (the reference gets this for free by keeping frame poses
+            # relative to the reference KF, Tracking.cc:558-574).
+            self.state.pose_R = self.map.kf_R[kf].copy()
+            self.state.pose_t = self.map.kf_t[kf].copy()
+            self.state.has_velocity = False
+
+    def _apply_adaptive_budget(self, n_inliers: int) -> None:
+        """COEB adaptive feature budget (Tracking.cc:417-466): grow by 500 on
+        loss or weak tracking (<=100 inliers), cap 2000; decay after 30
+        consecutive OK frames or 10 strong (>200 inliers) frames."""
+        t = self.cfg.tracking
+        if not t.adaptive_budget:
+            return
+        st = self.state
+        if st.mode == LOST or n_inliers <= t.weak_inlier_threshold:
+            st.budget = min(st.budget + t.budget_step, t.budget_cap)
+            st.strong_frames = 0
+            return
+        if n_inliers > t.strong_inlier_threshold:
+            st.strong_frames += 1
+        if st.consec_ok >= t.decay_success_window \
+                or st.strong_frames >= t.decay_strong_window:
+            floor = min(t.budget_floor, self.cfg.orb.n_features)
+            st.budget = max(st.budget - t.budget_step, floor)
+            st.consec_ok = 0
+            st.strong_frames = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _to_record(self, fd: FrameData) -> FrameRecord:
+        return FrameRecord(
+            uv=np.asarray(fd.feats.uv), level=np.asarray(fd.feats.level),
+            angle=np.asarray(fd.feats.angle), desc=np.asarray(fd.feats.desc),
+            depth=np.asarray(fd.depth), ur=np.asarray(fd.ur),
+            valid=np.asarray(fd.feats.valid),
+            point_ids=np.full(fd.n, -1, np.int32))
+
+    def _record_pose(self, stamp: float) -> None:
+        self.trajectory.append((stamp, self.state.pose_R.copy(),
+                                self.state.pose_t.copy()))

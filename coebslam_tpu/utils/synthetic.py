@@ -42,23 +42,43 @@ class MovingQuad(NamedTuple):
 
 
 def _smooth_noise(rng: np.random.RandomState, size=TEX_SIZE, octaves=4):
+    """Aperiodic multi-scale texture: band-passed white noise.
+
+    Grid-based value noise (kron / zoom upsampling of coarse lattices) puts
+    visually identical corners on a regular lattice; with BRIEF descriptors
+    those alias at the lattice pitch and tracking can lock onto a shifted
+    self-consistent match set (observed experimentally as sudden 8-px-scale
+    pose jumps).  Filtered white noise has no lattice — every corner's
+    neighbourhood is unique.
+    """
+    from scipy.ndimage import gaussian_filter
+
     img = np.zeros((size, size), np.float32)
     for o in range(octaves):
-        s = 8 * (2 ** o)
-        layer = rng.rand(s, s).astype(np.float32)
-        zoom = size // s
-        layer = np.kron(layer, np.ones((zoom, zoom), np.float32))
-        img += layer / (2 ** o)
+        sigma = 1.5 * (2 ** o)
+        layer = gaussian_filter(rng.randn(size, size).astype(np.float32),
+                                sigma=sigma)
+        # Normalize band energy, weight coarse bands slightly higher.
+        layer /= max(layer.std(), 1e-6)
+        img += layer * (1.3 ** o)
     img -= img.min()
     img /= img.max()
     return (img * 255.0).astype(np.float32)
 
 
-def make_room(seed: int = 0, size: float = 6.0) -> Tuple[Plane, ...]:
+def make_room(seed: int = 0, size: float = 6.0,
+              height: float = 2.5) -> Tuple[Plane, ...]:
     """A box room centred at origin: floor, ceiling, and three walls, each
-    with an independent high-contrast texture."""
+    with an independent high-contrast texture.
+
+    The room is realistically squat (2.5 m tall by default) so floor and
+    ceiling stay in view even when the camera faces a distant wall — a
+    view of nothing but one far plane is a depth-degenerate geometry that
+    destabilizes any visual-odometry z estimate.
+    """
     rng = np.random.RandomState(seed)
     s = size / 2.0
+    h = height / 2.0
 
     def plane(origin, e1, e2):
         return Plane(jnp.asarray(origin, jnp.float32),
@@ -68,15 +88,15 @@ def make_room(seed: int = 0, size: float = 6.0) -> Tuple[Plane, ...]:
 
     return (
         # back wall (z = +s), facing -z
-        plane([-s, -s, s], [size, 0, 0], [0, size, 0]),
+        plane([-s, -h, s], [size, 0, 0], [0, height, 0]),
         # left wall (x = -s)
-        plane([-s, -s, -s], [0, 0, size], [0, size, 0]),
+        plane([-s, -h, -s], [0, 0, size], [0, height, 0]),
         # right wall (x = +s)
-        plane([s, -s, -s], [0, 0, size], [0, size, 0]),
-        # floor (y = +s; camera convention: +y down)
-        plane([-s, s, -s], [size, 0, 0], [0, 0, size]),
-        # ceiling (y = -s)
-        plane([-s, -s, -s], [size, 0, 0], [0, 0, size]),
+        plane([s, -h, -s], [0, 0, size], [0, height, 0]),
+        # floor (y = +h; camera convention: +y down)
+        plane([-s, h, -s], [size, 0, 0], [0, 0, size]),
+        # ceiling (y = -h)
+        plane([-s, -h, -s], [size, 0, 0], [0, 0, size]),
     )
 
 
@@ -201,7 +221,7 @@ def camera_trajectory(n_frames: int, radius: float = 0.4,
         a = 2.0 * np.pi * i / max(n_frames, 1)
         # camera centre in world
         c = np.array([radius * np.sin(a), 0.15 * np.sin(2 * a),
-                      -1.5 + forward * i + 0.2 * np.cos(a)], np.float32)
+                      -1.2 + forward * i + 0.1 * np.cos(a)], np.float32)
         yaw = 0.12 * np.sin(a)
         pitch = 0.06 * np.cos(a)
         Rwc = (_rot_y(yaw) @ _rot_x(pitch)).astype(np.float32)
