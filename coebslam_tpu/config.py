@@ -133,6 +133,16 @@ class DynamicConfig:
     dynamic_classes: Tuple[int, ...] = (0,)
     # Max detector boxes carried through the fixed-shape pipeline.
     max_boxes: int = 16
+    # Extensions beyond the reference (both default-on; set False for strict
+    # reference behavior):
+    # Never create map points inside ANY detector box — a single
+    # unclassified frame otherwise bakes a mover into the map (the
+    # reference's per-frame classifier races keyframe insertion and loses).
+    spawn_in_boxes: bool = False
+    # A box classified dynamic keeps masking for this many frames
+    # (per-frame epipolar evidence is intermittent; movers don't stop being
+    # movers between two frames).
+    sticky_frames: int = 5
 
 
 @dataclass(frozen=True)

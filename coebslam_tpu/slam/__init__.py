@@ -1,1 +1,1 @@
-from . import frame, map as map_arena, tracking  # noqa: F401
+from . import frame, map as map_arena, tracking, local_mapping, dynamic, system  # noqa: F401

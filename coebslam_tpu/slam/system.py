@@ -1,0 +1,226 @@
+"""System facade — the public API of the framework.
+
+Mirrors the reference's `System` class surface (System.h:62-117, System.cc:
+38-513): construction wires tracking + local mapping (+ loop closing when
+enabled), per-frame entry points accept images and optional detector boxes,
+mode switches arbitrate localization-only operation, and trajectories export
+in TUM/KITTI formats (without the reference's hardcoded output paths,
+System.cc:358,416).
+
+Differences by design (SURVEY §7.1): no threads or mutexes — keyframe
+insertion triggers the mapping pipeline synchronously on the host while the
+actual compute runs as asynchronously-dispatched device programs; the
+detector boxes can come from any source (the in-graph YOLOv5 of
+models/detector.py, ground-truth boxes in tests, or an external process as
+in the reference's ROS setup).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..ops import pyramid as pyramid_ops
+from . import dynamic as dynamic_mod
+from .local_mapping import LocalMapper
+from .map import MapArena
+from .tracking import LOST, NOT_INITIALIZED, OK, Tracker
+
+SENSOR_RGBD = "rgbd"
+SENSOR_MONOCULAR = "monocular"
+SENSOR_STEREO = "stereo"
+
+
+class System:
+    def __init__(self, cfg: SystemConfig, detector=None):
+        """Args:
+          cfg: full configuration (or load_config(path) of a settings file).
+          detector: optional object with ``detect(gray) -> [B, 4] boxes``
+            (models/detector.py); used when no boxes are passed per frame.
+        """
+        self.cfg = cfg
+        self.detector = detector
+        self.map = MapArena(cfg)
+        self.tracker = Tracker(cfg, self.map)
+        self.mapper = LocalMapper(cfg, self.map)
+        self.tracker.on_keyframe = self._on_keyframe
+        self.loop_closer = None        # attached by loop_closing module
+        self.localization_only = False
+        self._prev_gray: Optional[jnp.ndarray] = None
+        self._frame_count = 0
+        self._rng = jax.random.PRNGKey(0)
+        self._recent_masks: List[np.ndarray] = []
+
+        self._jit_dynamic = jax.jit(
+            lambda pg, g, b, k: dynamic_mod.dynamic_frontend(pg, g, b, k, cfg))
+
+    # ------------------------------------------------------------------ #
+
+    def _on_keyframe(self, kf_id: int) -> None:
+        if self.localization_only:
+            return
+        self.mapper.process_keyframe(kf_id)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf_id)
+
+    # ------------------------------------------------------------------ #
+
+    def track_rgbd(self, rgb_or_gray, depth, stamp: float,
+                   boxes: Optional[Sequence] = None):
+        """Per-frame RGB-D entry (System::TrackRGBD, System.cc:176-225).
+
+        Args:
+          rgb_or_gray: [H, W] grayscale or [H, W, 3] color, 0..255.
+          depth: [H, W] float metres (pre-divided by DepthMapFactor).
+          boxes: optional [B, 4] (xmin, ymin, xmax, ymax) detector boxes —
+            the reference's `vector<vector<float>>` boundary (System.h:73).
+
+        Returns (state, n_inliers).
+        """
+        from ..ops import blur as blur_ops
+
+        gray = self._to_gray(rgb_or_gray)
+        mask = None
+        area_mode = False
+        spawn_mask = None
+
+        if self.cfg.use_dynamic_filtering:
+            if boxes is None and self.detector is not None:
+                boxes = self.detector.detect(gray)
+            h, w = gray.shape
+            if boxes is not None:
+                padded = self._pad_boxes(boxes)
+                all_box_mask = jnp.any(blur_ops._box_mask(h, w, padded),
+                                       axis=0)
+                if not self.cfg.dynamic.spawn_in_boxes:
+                    # Extension: never CREATE map points inside detector
+                    # boxes — one unclassified frame otherwise bakes a mover
+                    # into the map.
+                    spawn_mask = all_box_mask
+            if boxes is not None and self._prev_gray is not None:
+                self._rng, key = jax.random.split(self._rng)
+                dres = self._jit_dynamic(self._prev_gray, gray, padded, key)
+                mask = np.asarray(dres.mask)
+                area_mode = bool(dres.area_flag)
+                self.last_dynamic = dres
+                # Sticky masking: movers stay masked for a few frames even
+                # when per-frame epipolar evidence is intermittent.
+                if self.cfg.dynamic.sticky_frames > 0:
+                    if mask.any():
+                        self._recent_masks.append(mask)
+                    self._recent_masks = \
+                        self._recent_masks[-self.cfg.dynamic.sticky_frames:]
+                    for rm in self._recent_masks:
+                        mask = mask | rm
+                mask = jnp.asarray(mask)
+            elif boxes is not None \
+                    and self.tracker.state.mode == NOT_INITIALIZED:
+                # No previous frame => no motion evidence yet.  At
+                # initialization a mover baked into the map poisons
+                # everything downstream, so treat every detector box as
+                # dynamic until flow can arbitrate (conservative extension
+                # of the reference, which initializes blind and relies on
+                # reset-on-lost, Tracking.cc:542-550).
+                mask = all_box_mask
+
+        state, n = self.tracker.process_frame(
+            gray, jnp.asarray(depth), stamp,
+            dynamic_mask=mask, area_mode=area_mode, spawn_mask=spawn_mask)
+        self._prev_gray = gray
+        self._frame_count += 1
+        self._maybe_reset(state)
+        return state, n
+
+    def track_monocular(self, rgb_or_gray, stamp: float,
+                        boxes: Optional[Sequence] = None):
+        """Monocular entry (System::TrackMonocular).  Requires the monocular
+        initializer path (slam/initializer.py)."""
+        raise NotImplementedError(
+            "monocular tracking lands with the initializer milestone")
+
+    def track_stereo(self, left, right, stamp: float):
+        raise NotImplementedError(
+            "stereo tracking lands with the stereo-matching milestone")
+
+    # ------------------------------------------------------------------ #
+
+    def activate_localization_mode(self) -> None:
+        """Stop mapping; track against the frozen map
+        (System::ActivateLocalizationMode, System.h:81)."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self) -> None:
+        self.localization_only = False
+
+    def reset(self) -> None:
+        """Full system reset (System::Reset -> Tracking::Reset,
+        Tracking.cc:1582): clear the map and start re-initialization."""
+        self.map = MapArena(self.cfg)
+        self.tracker.map = self.map
+        self.mapper.map = self.map
+        self.tracker.state.__init__(budget=self.cfg.orb.n_features)
+        self.tracker.last_frame = None
+        self.tracker.ref_kf = -1
+        self._prev_gray = None
+
+    def _maybe_reset(self, state: str) -> None:
+        """Reset if lost soon after init with a tiny map
+        (Tracking.cc:542-550: lost with <= 5 KFs => reset)."""
+        if state == LOST and len(self.map.valid_keyframes()) \
+                < self.cfg.tracking.reset_if_lost_with_kfs_below:
+            n_traj = len(self.tracker.trajectory)
+            self.reset()
+            # keep the trajectory log across the reset
+            del self.tracker.trajectory[n_traj:]
+
+    def shutdown(self) -> None:
+        """System::Shutdown — nothing to join (no threads); kept for API
+        parity."""
+
+    # ------------------------------------------------------------------ #
+
+    def get_tracking_state(self) -> str:
+        return self.tracker.state.mode
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        lf = self.tracker.last_frame
+        if lf is None:
+            return np.zeros(0, np.int32)
+        return lf.point_ids[lf.point_ids >= 0]
+
+    def save_trajectory_tum(self, path: str) -> None:
+        """System::SaveTrajectoryTUM (System.cc:331-401)."""
+        from ..io import trajectory
+        traj = self.tracker.trajectory
+        trajectory.save_tum(path, [s for s, _, _ in traj],
+                            [(R, t) for _, R, t in traj])
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        """System::SaveKeyFrameTrajectoryTUM (System.cc:403-443)."""
+        from ..io import trajectory
+        kfs = self.map.valid_keyframes()
+        trajectory.save_tum(path, self.map.kf_stamp[kfs],
+                            [(self.map.kf_R[k], self.map.kf_t[k])
+                             for k in kfs])
+
+    def save_trajectory_kitti(self, path: str) -> None:
+        from ..io import trajectory
+        trajectory.save_kitti(path, [(R, t)
+                                     for _, R, t in self.tracker.trajectory])
+
+    # ------------------------------------------------------------------ #
+
+    def _to_gray(self, img) -> jnp.ndarray:
+        img = jnp.asarray(img)
+        if img.ndim == 3:
+            return pyramid_ops.rgb_to_gray(img)
+        return img.astype(jnp.float32)
+
+    def _pad_boxes(self, boxes) -> jnp.ndarray:
+        b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        out = np.full((self.cfg.dynamic.max_boxes, 4), -1.0, np.float32)
+        out[:min(len(b), len(out))] = b[:len(out)]
+        return jnp.asarray(out)

@@ -184,8 +184,13 @@ class Tracker:
     # ------------------------------------------------------------------ #
 
     def process_frame(self, gray, depth, stamp: float,
-                      dynamic_mask=None, area_mode: bool = False):
-        """Track one RGB-D frame.  Returns (state_str, n_inliers)."""
+                      dynamic_mask=None, area_mode: bool = False,
+                      spawn_mask=None):
+        """Track one RGB-D frame.  Returns (state_str, n_inliers).
+
+        ``spawn_mask``: optional [H, W] bool — regions where map points must
+        not be CREATED (keypoints there may still match existing points)."""
+        self._spawn_mask = None if spawn_mask is None else np.asarray(spawn_mask)
         budget = jnp.int32(self.state.budget)
         if dynamic_mask is not None:
             fd: FrameData = self._jit_frontend_masked(
@@ -215,7 +220,7 @@ class Tracker:
         if n_feat < 500:
             return n_feat
         rec = self._to_record(fd)
-        has_depth = rec.valid & (rec.depth > 0)
+        has_depth = rec.valid & (rec.depth > 0) & ~self._in_spawn_mask(rec)
         pose = SE3(jnp.asarray(self.state.pose_R), jnp.asarray(self.state.pose_t))
         pts_c = cam_ops.unproject(self.cfg.camera,
                                   jnp.asarray(rec.uv[has_depth]),
@@ -429,7 +434,8 @@ class Tracker:
         """CreateNewKeyFrame (Tracking.cc:1142-1212): insert KF; spawn map
         points for close-depth keypoints without an association."""
         cam = self.cfg.camera
-        spawn = rec.valid & (rec.point_ids < 0) & (rec.depth > 0)
+        spawn = rec.valid & (rec.point_ids < 0) & (rec.depth > 0) \
+            & ~self._in_spawn_mask(rec)
         # Reference: create all closer than thDepth, else closest 100.
         close = spawn & (rec.depth < cam.depth_threshold)
         if close.sum() < 100:
@@ -493,6 +499,14 @@ class Tracker:
             st.strong_frames = 0
 
     # ------------------------------------------------------------------ #
+
+    def _in_spawn_mask(self, rec: FrameRecord) -> np.ndarray:
+        mask = getattr(self, "_spawn_mask", None)
+        if mask is None:
+            return np.zeros(rec.uv.shape[0], bool)
+        u = np.clip(rec.uv[:, 0].round().astype(int), 0, mask.shape[1] - 1)
+        v = np.clip(rec.uv[:, 1].round().astype(int), 0, mask.shape[0] - 1)
+        return mask[v, u]
 
     def _to_record(self, fd: FrameData) -> FrameRecord:
         return FrameRecord(
