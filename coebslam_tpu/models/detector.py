@@ -1,0 +1,85 @@
+"""Detector interface: in-graph YOLOv5 and the deterministic fake detector.
+
+The reference feeds boxes over ROS from a separate PyTorch process
+(yolo_v5.py); here the detector is a plain object with
+``detect(gray) -> [B, 4] xyxy boxes`` that the System facade calls
+per-frame.  Two implementations:
+
+* YoloDetector — the Flax YOLOv5s of models/yolov5.py, fully jitted
+  (resize + normalize + forward + decode + fixed-size NMS in one program),
+  filtered to the configured dynamic classes (person-only by default,
+  matching yolo_v5.py:126).
+* FakeDetector — precomputed boxes per frame (SURVEY §4: the deterministic
+  fake detector the test strategy calls for).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DetectorConfig, DynamicConfig
+from . import yolov5
+
+
+class FakeDetector:
+    """Replays a precomputed box sequence (ground truth in tests)."""
+
+    def __init__(self, boxes_per_frame: Sequence):
+        self._boxes = [np.asarray(b, np.float32).reshape(-1, 4)
+                       for b in boxes_per_frame]
+        self._i = 0
+
+    def detect(self, gray) -> np.ndarray:
+        b = self._boxes[min(self._i, len(self._boxes) - 1)]
+        self._i += 1
+        return b
+
+
+class YoloDetector:
+    """In-graph YOLOv5s person detector."""
+
+    def __init__(self, cfg: DetectorConfig, dyn_cfg: DynamicConfig,
+                 variables=None, rng_seed: int = 0):
+        """Args:
+          variables: Flax variables dict — from yolov5.port_torch_weights()
+            for real checkpoints, or None for random init (useful only for
+            pipeline/shape testing).
+        """
+        self.cfg = cfg
+        self.model = yolov5.YoloV5s(num_classes=cfg.num_classes,
+                                    width_mult=cfg.width_multiple,
+                                    depth_mult=cfg.depth_multiple)
+        size = cfg.input_size
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, size, size, 3)))
+        self.variables = variables
+        self._class_filter = tuple(dyn_cfg.dynamic_classes)
+
+        def run(gray):
+            h, w = gray.shape
+            img = jnp.stack([gray, gray, gray], axis=-1) / 255.0
+            inp = jax.image.resize(img, (size, size, 3), "linear")[None]
+            raw = self.model.apply(self.variables, inp)
+            dec = yolov5.decode_predictions(raw, cfg.num_classes)[0]
+            boxes, scores, classes = yolov5.nms_topk(
+                dec, conf_threshold=cfg.conf_threshold,
+                iou_threshold=cfg.iou_threshold,
+                max_detections=cfg.max_detections,
+                class_filter=self._class_filter)
+            # Map from detector input scale back to image pixels.
+            scale = jnp.asarray([w / size, h / size, w / size, h / size],
+                                jnp.float32)
+            boxes = jnp.where(boxes >= 0, boxes * scale, -1.0)
+            return boxes, scores, classes
+
+        self._jit_run = jax.jit(run)
+
+    def detect(self, gray) -> np.ndarray:
+        boxes, scores, classes = self._jit_run(jnp.asarray(gray))
+        b = np.asarray(boxes)
+        return b[b[:, 0] >= 0]
