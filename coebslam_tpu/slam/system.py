@@ -35,11 +35,14 @@ SENSOR_STEREO = "stereo"
 
 
 class System:
-    def __init__(self, cfg: SystemConfig, detector=None):
+    def __init__(self, cfg: SystemConfig, detector=None, vocabulary=None):
         """Args:
           cfg: full configuration (or load_config(path) of a settings file).
           detector: optional object with ``detect(gray) -> [B, 4] boxes``
             (models/detector.py); used when no boxes are passed per frame.
+          vocabulary: optional slam.vocabulary.Vocabulary — enables the BoW
+            keyframe database, relocalization and loop closing (the
+            reference loads ORBvoc.txt at startup, System.cc:71-78).
         """
         self.cfg = cfg
         self.detector = detector
@@ -49,6 +52,27 @@ class System:
         self.tracker.on_keyframe = self._on_keyframe
         self.loop_closer = None        # attached by loop_closing module
         self.localization_only = False
+
+        self.voc = vocabulary
+        self.kf_db = None
+        self.relocalizer = None
+        if vocabulary is not None:
+            from . import vocabulary as voc_mod
+            from .keyframe_db import KeyFrameDatabase
+            from .relocalization import Relocalizer
+            self.kf_db = KeyFrameDatabase(vocabulary, self.map,
+                                          cfg.map.max_keyframes)
+            self.relocalizer = Relocalizer(cfg, self.map, self.kf_db)
+            self._jit_bow = jax.jit(
+                lambda d, v: voc_mod.transform(vocabulary, d, v))
+
+            def reloc_fn(fd):
+                words, groups, bow = self._jit_bow(fd.feats.desc,
+                                                   fd.feats.valid)
+                return self.relocalizer.relocalize(
+                    fd, np.asarray(words), np.asarray(bow))
+
+            self.tracker.reloc_fn = reloc_fn
         self._prev_gray: Optional[jnp.ndarray] = None
         self._frame_count = 0
         self._rng = jax.random.PRNGKey(0)
@@ -62,6 +86,12 @@ class System:
     def _on_keyframe(self, kf_id: int) -> None:
         if self.localization_only:
             return
+        if self.kf_db is not None:
+            words, groups, bow = self._jit_bow(
+                jnp.asarray(self.map.kf_desc[kf_id]),
+                jnp.asarray(self.map.kf_kp_valid[kf_id]))
+            self.kf_db.add(kf_id, np.asarray(words), np.asarray(groups),
+                           np.asarray(bow))
         self.mapper.process_keyframe(kf_id)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf_id)

@@ -168,6 +168,7 @@ class Tracker:
         self.trajectory = []        # list of (stamp, R_cw, t_cw)
         self.ref_kf: int = -1
         self.on_keyframe = None     # callback(kf_id) — local mapping hook
+        self.reloc_fn = None        # callback(fd) -> RelocResult (BoW rel.)
 
         # Static config is closed over (frozen dataclasses are not pytrees).
         self._jit_frontend = jax.jit(
@@ -269,20 +270,27 @@ class Tracker:
             if int(wide.n_inliers) > int(res1.n_inliers):
                 res1 = wide
         pose = res1.pose
+        relocalized = False
         if int(res1.n_inliers) < cfg.tracking.min_inliers_track:
-            # Fallback: relocalization-style wide search vs reference KF
-            # points (stands in for SearchByBoW + reloc until the BoW module
-            # lands).
-            ref_ids = self.map.kf_obs_pt[self.ref_kf]
-            ref_ids = self._pad_ids(ref_ids[ref_ids >= 0], lp.shape[0])
-            res1 = self._run_track(fd, pose_last, ref_ids, 50.0)
-            pose = res1.pose
-            if int(res1.n_inliers) < cfg.tracking.min_inliers_track:
-                st.mode = LOST
-                st.n_lost_frames += 1
-                st.consec_ok = 0
-                st.has_velocity = False
-                return int(res1.n_inliers)
+            # Relocalization (Tracking.cc:1417): BoW retrieval + alignment
+            # RANSAC when the database is wired; otherwise a wide projection
+            # search against the reference keyframe.
+            if self.reloc_fn is not None:
+                rr = self.reloc_fn(fd)
+                if rr.ok:
+                    pose = SE3(jnp.asarray(rr.R), jnp.asarray(rr.t))
+                    relocalized = True
+            if not relocalized:
+                ref_ids = self.map.kf_obs_pt[self.ref_kf]
+                ref_ids = self._pad_ids(ref_ids[ref_ids >= 0], lp.shape[0])
+                res1 = self._run_track(fd, pose_last, ref_ids, 50.0)
+                pose = res1.pose
+                if int(res1.n_inliers) < cfg.tracking.min_inliers_track:
+                    st.mode = LOST
+                    st.n_lost_frames += 1
+                    st.consec_ok = 0
+                    st.has_velocity = False
+                    return int(res1.n_inliers)
 
         # ---- stage 2: vs covisibility local map (TrackLocalMap) ----
         # Two match-solve iterations: a wide pass absorbs stage-1 error, a
@@ -299,7 +307,8 @@ class Tracker:
         n_inliers = int(res2.n_inliers)
 
         # Motion sanity gate (see TrackingConfig.max_translation_per_frame).
-        if not self._motion_plausible(res2.pose, pose_last):
+        # A BoW relocalization is an absolute fix — exempt from the gate.
+        if not relocalized and not self._motion_plausible(res2.pose, pose_last):
             st.mode = LOST
             st.n_lost_frames += 1
             st.consec_ok = 0
