@@ -253,6 +253,10 @@ class LoopConfig:
     """Loop closing constants (LoopClosing.cc; SURVEY §2.1 LoopClosing row)."""
 
     covisibility_consistency_threshold: int = 3   # LoopClosing.cc:44
+    # Scale on the covisibility min-score gate (1.0 = reference semantics;
+    # smaller vocabularies than ORBvoc under-estimate similarity, so
+    # deployments with a freshly trained vocab may need < 1).
+    min_score_factor: float = 1.0
     min_bow_matches: int = 20
     sim3_ransac_prob: float = 0.99
     sim3_ransac_min_inliers: int = 20

@@ -48,17 +48,24 @@ def exp(w):
 def log(R):
     """Logarithm map SO(3) -> so(3): [..., 3, 3] -> [..., 3].
 
-    Safe near the identity; near theta=pi accuracy degrades gracefully (the
-    SLAM solvers only take log of small incremental rotations).
+    Autodiff-safe: the pose-graph optimizer differentiates through this at
+    exactly-identity residuals, where a naive arccos/0-division formulation
+    produces NaN gradients (infinite d(arccos)/dx at 1, and 0/0 in the
+    untaken `where` branch — both branches are evaluated under jacfwd).
+    Near theta=pi accuracy degrades gracefully (the SLAM solvers only take
+    log of small incremental rotations).
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # Clip strictly inside (-1, 1): keeps d(arccos) finite.  The value error
+    # at the clip boundary is ~5e-4 rad — far below solver noise.
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-6, 1.0 - 1e-6)
     theta = jnp.arccos(cos_theta)
     sin_theta = jnp.sin(theta)
     # w = theta/(2 sin theta) * vee(R - R^T); near 0 the factor -> 1/2.
+    sin_safe = jnp.where(jnp.abs(sin_theta) < _EPS, 1.0, sin_theta)
     factor = jnp.where(jnp.abs(sin_theta) < _EPS,
                        0.5 + theta * theta / 12.0,
-                       theta / (2.0 * sin_theta))
+                       theta / (2.0 * sin_safe))
     antisym = vee(R - jnp.swapaxes(R, -1, -2))
     w = factor[..., None] * antisym
 

@@ -1,1 +1,1 @@
-from . import tum, trajectory  # noqa: F401
+from . import tum, trajectory, checkpoint  # noqa: F401

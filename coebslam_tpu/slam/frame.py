@@ -37,6 +37,55 @@ def level_inv_sigma2(levels, scale_factor: float):
     return 1.0 / sigma2
 
 
+def match_stereo(feats_l: Features, feats_r: Features, cam: CameraConfig,
+                 orb: OrbConfig, row_tolerance: float = 2.0):
+    """Rectified stereo matching: left keypoints against right keypoints in
+    the same image row (reference Frame::ComputeStereoMatches,
+    Frame.cc:644-818 — row bands, level compatibility, Hamming best,
+    disparity in (0, fx*baseline_max)).
+
+    Returns (depth [N], ur [N]) for the left features; -1/0 where unmatched.
+    """
+    from ..ops import matching as matching_ops
+
+    d = matching_ops.hamming_matrix(feats_l.signed_desc(),
+                                    feats_r.signed_desc())
+    # Row band scaled by the left keypoint's level (reference uses r = 2
+    # scaled levels around the row).
+    scale_l = orb.scale_factor ** feats_l.level.astype(jnp.float32)
+    dv = jnp.abs(feats_l.uv[:, None, 1] - feats_r.uv[None, :, 1])
+    d = d + jnp.where(dv <= row_tolerance * scale_l[:, None], 0.0, 1e9)
+    # Disparity window: minD=0 (at infinity), maxD = fx (disparity of a
+    # point at one baseline distance).
+    disp = feats_l.uv[:, None, 0] - feats_r.uv[None, :, 0]
+    d = d + jnp.where((disp > 0.1) & (disp < cam.fx), 0.0, 1e9)
+    # Level compatibility +-1.
+    dl = jnp.abs(feats_l.level[:, None] - feats_r.level[None, :])
+    d = d + jnp.where(dl <= 1, 0.0, 1e9)
+
+    res = matching_ops.match(d, max_distance=100.0, ratio=0.9, mutual=True,
+                             row_valid=feats_l.valid, col_valid=feats_r.valid)
+    matched_disp = disp[jnp.arange(disp.shape[0]), jnp.clip(res.idx, 0)]
+    ok = res.valid & (matched_disp > 0.1)
+    depth = jnp.where(ok, cam.bf / jnp.maximum(matched_disp, 0.1), 0.0)
+    ur = jnp.where(ok, feats_l.uv[:, 0] - matched_disp, -1.0)
+    return depth, ur
+
+
+def process_stereo(gray_left, gray_right, cam: CameraConfig, orb: OrbConfig,
+                   *, n_features=None) -> FrameData:
+    """Stereo frame constructor: extract on both images, match along rows,
+    synthesize depth — restores the stereo path the fork disabled
+    (SURVEY §2.5: extraction threads commented out at Frame.cc:92-95)."""
+    feats_l = extractor.extract(gray_left, orb, n_features=n_features)
+    feats_r = extractor.extract(gray_right, orb, n_features=n_features)
+    depth, ur = match_stereo(feats_l, feats_r, cam, orb)
+    inv_s2 = level_inv_sigma2(feats_l.level, orb.scale_factor)
+    obs = jnp.concatenate([feats_l.uv, ur[:, None]], axis=-1)
+    return FrameData(feats=feats_l, depth=depth, ur=ur, inv_sigma2=inv_s2,
+                     obs=obs)
+
+
 def process_rgbd(
     gray,
     depth_img,

@@ -53,10 +53,87 @@ class LocalMapper:
     def process_keyframe(self, kf_id: int) -> None:
         """Run the mapping pipeline for a freshly inserted keyframe."""
         self.cull_map_points(kf_id)
+        self.create_new_map_points(kf_id)
         self.fuse_neighbors(kf_id)
         if self.map.n_kf >= 3:
             self.run_local_ba(kf_id)
         self.cull_keyframes(kf_id)
+
+    # ------------------------------------------------------------------ #
+
+    def create_new_map_points(self, kf_id: int) -> None:
+        """CreateNewMapPoints (LocalMapping.cc:208-453): triangulate new
+        landmarks from epipolar-matched unassociated keypoints against
+        covisible neighbors.  Essential for monocular; for RGB-D it adds
+        far points beyond the depth range (the reference behaves the same:
+        RGB-D only skips triangulation for close points)."""
+        from ..geometry.se3 import SE3
+        from ..ops import triangulation as tri
+
+        m = self.map
+        cfg = self.cfg
+        mono = cfg.sensor == "monocular"
+        n_nbr = (cfg.mapping.triangulation_neighbors_mono if mono
+                 else cfg.mapping.triangulation_neighbors_rgbd)
+        nbrs = m.best_covisible(kf_id, n_nbr)
+        if len(nbrs) == 0:
+            return
+        if not hasattr(self, "_jit_triangulate"):
+            self._jit_triangulate = jax.jit(
+                lambda uv1, d1, v1, l1, uv2, d2, v2, l2, ur2, T1, T2:
+                tri.triangulate_pair(uv1, d1, v1, l1, uv2, d2, v2, l2, ur2,
+                                     T1, T2, cfg.camera, cfg.orb,
+                                     cfg.matcher))
+
+        T1 = SE3(jnp.asarray(m.kf_R[kf_id]), jnp.asarray(m.kf_t[kf_id]))
+        C1 = -m.kf_R[kf_id].T @ m.kf_t[kf_id]
+        uv1 = jnp.asarray(m.kf_uv[kf_id])
+        l1 = jnp.asarray(m.kf_level[kf_id])
+        d1 = _signed_jnp(m.kf_desc[kf_id])
+
+        for nb in nbrs:
+            nb = int(nb)
+            # Baseline gate (LocalMapping.cc:244-262): RGB-D requires the
+            # baseline to exceed the stereo baseline; monocular requires
+            # baseline/median-depth > 0.01.
+            C2 = -m.kf_R[nb].T @ m.kf_t[nb]
+            baseline = float(np.linalg.norm(C1 - C2))
+            if mono:
+                depths = m.kf_depth[nb][m.kf_kp_valid[nb]]
+                med = np.median(depths[depths > 0]) if (depths > 0).any() else 0
+                if med > 0 and baseline / med < 0.01:
+                    continue
+            elif baseline < self.cfg.camera.baseline:
+                continue
+
+            # Unassociated keypoints on both sides.
+            v1 = (m.kf_kp_valid[kf_id]) & (m.kf_obs_pt[kf_id] < 0)
+            v2 = (m.kf_kp_valid[nb]) & (m.kf_obs_pt[nb] < 0)
+            if v1.sum() < 10 or v2.sum() < 10:
+                continue
+            T2 = SE3(jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]))
+            res = self._jit_triangulate(
+                uv1, d1, jnp.asarray(v1), l1,
+                jnp.asarray(m.kf_uv[nb]), _signed_jnp(m.kf_desc[nb]),
+                jnp.asarray(v2), jnp.asarray(m.kf_level[nb]),
+                jnp.asarray(m.kf_ur[nb]), T1, T2)
+            good = np.asarray(res.good)
+            if not good.any():
+                continue
+            slots1 = np.nonzero(good)[0]
+            slots2 = np.asarray(res.idx2)[slots1]
+            pts = np.asarray(res.points)[slots1]
+            ids = m.add_points(pts, m.kf_desc[kf_id][slots1],
+                               first_kf=kf_id,
+                               angles=m.kf_angle[kf_id][slots1])
+            ok = ids >= 0
+            for s1, s2, pid in zip(slots1[ok], slots2[ok], ids[ok]):
+                m.kf_obs_pt[kf_id, s1] = pid
+                m._add_observation(int(pid), kf_id, int(s1))
+                m.kf_obs_pt[nb, s2] = pid
+                m._add_observation(int(pid), nb, int(s2))
+            m.update_point_stats(ids[ok])
+        m.update_covisibility(kf_id)
 
     # ------------------------------------------------------------------ #
 
@@ -261,3 +338,8 @@ class LocalMapper:
 def _signed(desc_u8: np.ndarray) -> np.ndarray:
     bits = np.unpackbits(desc_u8, axis=1, bitorder="little")
     return (bits.astype(np.int8) * 2 - 1)
+
+
+def _signed_jnp(desc_u8: np.ndarray):
+    from ..ops import brief
+    return brief.to_signed(brief.unpack_bits(jnp.asarray(desc_u8)))

@@ -1,0 +1,334 @@
+"""Loop closing: detection, Sim3 computation, correction, pose graph, GBA.
+
+Re-design of the `LoopClosing` thread (LoopClosing.cc:58-777, SURVEY §3.3)
+as a host-driven procedure over the arena, with every solve jitted:
+
+  detect      — BoW candidates below the covisibility min-score, kept only
+                after 3 consecutive consistent detections (LoopClosing.cc:
+                104-212, threshold at :44)
+  compute_sim3— descriptor matches current KF <-> candidate's points ->
+                batched 3-point Horn RANSAC (ops/procrustes; the reference's
+                Sim3Solver) -> OptimizeSim3 refinement -> guided projection
+                of the loop neighborhood for >= 40 total matches
+                (LoopClosing.cc:232-401)
+  correct     — propagate the corrected pose to the current covisibility
+                group + its points, fuse duplicates, add the loop edge, run
+                the essential-graph optimization, then (bounded) global BA
+                (LoopClosing.cc:403-750)
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..geometry import se3 as se3_mod
+from ..geometry.se3 import SE3
+from ..geometry.sim3 import Sim3
+from ..optim import pose_graph as pg_mod
+from ..optim import sim3_opt
+from ..ops import brief, matching, procrustes
+from .keyframe_db import KeyFrameDatabase
+from .map import MapArena
+
+MAX_EDGES = 4096
+
+
+class LoopCloser:
+    def __init__(self, cfg: SystemConfig, arena: MapArena,
+                 kf_db: KeyFrameDatabase, mapper=None):
+        self.cfg = cfg
+        self.map = arena
+        self.db = kf_db
+        self.mapper = mapper
+        self._rng = jax.random.PRNGKey(13)
+        self.last_loop_kf = -1
+        self._consistency: List[Dict] = []   # prior candidate groups
+        self.loop_edges: List = []           # (kf_a, kf_b) accepted loops
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------ #
+
+    def insert_keyframe(self, kf_id: int) -> None:
+        cand = self.detect(kf_id)
+        if cand < 0:
+            return
+        ok, S_corr = self.compute_sim3(kf_id, cand)
+        if not ok:
+            return
+        self.correct(kf_id, cand, S_corr)
+        self.n_loops_closed += 1
+
+    # ------------------------------------------------------------------ #
+
+    def detect(self, kf_id: int) -> int:
+        """Returns a consistent loop-candidate KF id or -1."""
+        m = self.map
+        if kf_id < 10 or kf_id - self.last_loop_kf < 10:
+            self._consistency = []
+            return -1
+        # minScore: lowest BoW similarity among covisible neighbors
+        # (LoopClosing.cc:122-139).
+        nbrs = m.covisible_keyframes(kf_id, min_weight=15)
+        if len(nbrs) == 0:
+            return -1
+        q = self.db.kf_bow[kf_id]
+        sims = 1.0 - 0.5 * np.abs(q[None] - self.db.kf_bow[nbrs]).sum(1)
+        min_score = float(sims.min()) * self.cfg.loop.min_score_factor
+
+        cands = self.db.detect_loop_candidates(kf_id, min_score)
+        if len(cands) == 0:
+            self._consistency = []
+            return -1
+
+        # Covisibility-consistency over 3 consecutive KFs
+        # (LoopClosing.cc:153-212).
+        new_groups = []
+        chosen = -1
+        for c in cands:
+            group = set(int(k) for k in m.covisible_keyframes(int(c), 1))
+            group.add(int(c))
+            count = 0
+            for prev in self._consistency:
+                if group & prev["group"]:
+                    count = prev["count"] + 1
+                    break
+            new_groups.append({"group": group, "count": count})
+            if count >= self.cfg.loop.covisibility_consistency_threshold \
+                    and chosen < 0:
+                chosen = int(c)
+        self._consistency = new_groups
+        return chosen
+
+    # ------------------------------------------------------------------ #
+
+    def _kf_point_table(self, kf: int):
+        obs = self.map.kf_obs_pt[kf]
+        slots = np.nonzero((obs >= 0) & self.map.pt_valid[np.clip(obs, 0, None)])[0]
+        return slots, obs[slots]
+
+    def compute_sim3(self, kf_id: int, cand: int):
+        """Returns (ok, corrected Sim3 S_cw for the current KF)."""
+        m = self.map
+        cfg = self.cfg
+        self.last_debug = {"stage": "points", "n1": 0, "n2": 0}
+        slots1, pids1 = self._kf_point_table(kf_id)
+        slots2, pids2 = self._kf_point_table(cand)
+        self.last_debug.update(n1=len(pids1), n2=len(pids2))
+        if len(pids1) < cfg.loop.min_bow_matches \
+                or len(pids2) < cfg.loop.min_bow_matches:
+            return False, None
+
+        # Descriptor matching between the two KFs' map points.
+        d1 = brief.to_signed(brief.unpack_bits(jnp.asarray(m.pt_desc[pids1])))
+        d2 = brief.to_signed(brief.unpack_bits(jnp.asarray(m.pt_desc[pids2])))
+        dist = matching.hamming_matrix(d1, d2)
+        res = matching.match(dist, max_distance=cfg.matcher.th_low,
+                             ratio=cfg.matcher.nn_ratio_bow, mutual=True)
+        sel = np.asarray(res.valid)
+        self.last_debug.update(stage="match", n_match=int(sel.sum()))
+        if sel.sum() < cfg.loop.min_bow_matches:
+            return False, None
+
+        # Matched landmark positions in each KF's camera frame.
+        idx2 = np.asarray(res.idx)
+        T1 = SE3(jnp.asarray(m.kf_R[kf_id]), jnp.asarray(m.kf_t[kf_id]))
+        T2 = SE3(jnp.asarray(m.kf_R[cand]), jnp.asarray(m.kf_t[cand]))
+        X1_w = jnp.asarray(m.pt_pos[pids1])
+        X2_w = jnp.asarray(m.pt_pos[pids2[np.clip(idx2, 0, None)]])
+        p1_c1 = se3_mod.transform_points(T1, X1_w)
+        p2_c2 = se3_mod.transform_points(T2, X2_w)
+        uv1 = jnp.asarray(m.kf_uv[kf_id, slots1])
+        uv2 = jnp.asarray(m.kf_uv[cand, slots2[np.clip(idx2, 0, None)]])
+
+        # RANSAC Sim3 (fixed scale for RGB-D): src = cam2 coords,
+        # dst = cam1 coords; S12 maps cam2 -> cam1.
+        self._rng, key = jax.random.split(self._rng)
+        align = procrustes.ransac_alignment(
+            p2_c2, p1_c1, jnp.asarray(sel), key,
+            n_hypotheses=cfg.loop.sim3_ransac_iters,
+            cam=cfg.camera, obs_uv=uv1, px_threshold=6.0,
+            with_scale=(cfg.sensor == "monocular"))
+        self.last_debug.update(stage="ransac", ransac_inl=int(align.n_inliers))
+        if int(align.n_inliers) < cfg.loop.sim3_ransac_min_inliers:
+            return False, None
+
+        S12 = Sim3(align.scale, align.R, align.t)
+        opt = sim3_opt.optimize_sim3(
+            S12, p1_c1, p2_c2, uv1, uv2,
+            jnp.asarray(sel) & align.inliers, cfg.camera, cfg.optimizer,
+            fix_scale=(cfg.sensor != "monocular"))
+        self.last_debug.update(stage="sim3opt", sim3_inl=int(opt.n_inliers))
+        if int(opt.n_inliers) < cfg.loop.min_sim3_inliers:
+            return False, None
+
+        # Guided projection against the loop neighborhood for total support
+        # (SearchBySim3/SearchByProjection stage, LoopClosing.cc:330-401).
+        nbr = np.concatenate([[cand], m.best_covisible(cand, 10)])
+        nbr_pts = m.local_map_points(nbr, 4096)
+        nbr_pts = nbr_pts[nbr_pts >= 0]
+        S1w = opt.S12.compose(Sim3.from_se3(T2.R, T2.t))   # corrected S_cw
+        Xn_w = jnp.asarray(m.pt_pos[nbr_pts])
+        pn_c1 = S1w.apply(Xn_w)
+        from ..geometry import camera as cam_ops
+        uv_pred = cam_ops.project(cfg.camera, pn_c1)
+        vis = (pn_c1[:, 2] > 0.05) \
+            & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cfg.camera.width) \
+            & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < cfg.camera.height)
+        dn = brief.to_signed(brief.unpack_bits(jnp.asarray(m.pt_desc[nbr_pts])))
+        dmat = matching.hamming_matrix(
+            brief.to_signed(brief.unpack_bits(jnp.asarray(m.kf_desc[kf_id]))),
+            dn)
+        kf_uv = jnp.asarray(m.kf_uv[kf_id])
+        du = jnp.abs(kf_uv[:, None, 0] - uv_pred[None, :, 0])
+        dv = jnp.abs(kf_uv[:, None, 1] - uv_pred[None, :, 1])
+        dmat = dmat + jnp.where((du <= 8.0) & (dv <= 8.0), 0.0, matching.BIG)
+        res2 = matching.match(dmat, max_distance=cfg.matcher.th_low,
+                              mutual=True,
+                              row_valid=jnp.asarray(m.kf_kp_valid[kf_id]),
+                              col_valid=vis)
+        total = int(res2.valid.sum())
+        self.last_debug.update(stage="guided", total=total)
+        if total < cfg.loop.min_total_matches:
+            return False, None
+        self.last_debug.update(stage="accepted")
+        return True, S1w
+
+    # ------------------------------------------------------------------ #
+
+    def correct(self, kf_id: int, cand: int, S_corr: Sim3) -> None:
+        """CorrectLoop (LoopClosing.cc:403-750)."""
+        m = self.map
+        # Snapshot pre-correction poses: essential-graph edges between
+        # uncorrected keyframes must be measured in the drifted-but-
+        # consistent frame (the reference's NonCorrectedSim3 map,
+        # LoopClosing.cc:444-517).
+        self._snapshot_R = m.kf_R.copy()
+        self._snapshot_t = m.kf_t.copy()
+        T_old = Sim3.from_se3(jnp.asarray(m.kf_R[kf_id]),
+                              jnp.asarray(m.kf_t[kf_id]))
+        # S_new_cw = S_corr for the current KF; neighbors: S_new = S_rel*S_corr
+        group = np.concatenate([[kf_id], m.covisible_keyframes(kf_id, 1)])
+
+        corrections = {}
+        for k in group:
+            k = int(k)
+            T_k = Sim3.from_se3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
+            S_rel = T_k.compose(T_old.inverse())       # k relative to current
+            S_new = S_rel.compose(S_corr)              # corrected k pose
+            corrections[k] = (T_k, S_new)
+
+        # Move the group's points (X_new = S_new^-1( S_old(X) ) via owning
+        # KF) and ALWAYS update each group pose — a KF whose points were all
+        # moved already still needs its own pose corrected.
+        moved: Set[int] = set()
+        for k, (T_k, S_new) in corrections.items():
+            mtx = np.asarray(S_new.to_se3_matrix())
+            m.set_keyframe_pose(k, mtx[:3, :3], mtx[:3, 3])
+            obs = m.kf_obs_pt[k]
+            pids = obs[obs >= 0]
+            pids = pids[m.pt_valid[pids]]
+            pids = np.asarray([p for p in pids if p not in moved])
+            if len(pids) == 0:
+                continue
+            moved.update(int(p) for p in pids)
+            X = jnp.asarray(m.pt_pos[pids])
+            X_new = S_new.inverse().apply(T_k.apply(X))
+            m.pt_pos[pids] = np.asarray(X_new)
+
+        self.loop_edges.append((kf_id, cand))
+        self.last_loop_kf = kf_id
+        self._consistency = []
+
+        self.run_pose_graph(fixed_kf=cand)
+        if self.mapper is not None:
+            # Bounded "global" BA seeded at the loop point (full GBA with a
+            # chunked Schur assembly lands with the scale-out milestone).
+            self.mapper.run_local_ba(kf_id)
+
+    # ------------------------------------------------------------------ #
+
+    def run_pose_graph(self, fixed_kf: int) -> None:
+        """Build + solve the essential graph over all valid keyframes."""
+        m = self.map
+        cfg = self.cfg
+        kfs = m.valid_keyframes()
+        if len(kfs) < 3:
+            return
+        K = int(kfs.max()) + 1
+
+        edges_i, edges_j = [], []
+        # Spanning tree edges.
+        for k in kfs:
+            p = m.kf_parent[k]
+            if p >= 0 and m.kf_valid[p]:
+                edges_i.append(int(k))
+                edges_j.append(int(p))
+        # Strong covisibility edges (weight >= 100).
+        cov = m.covis[:K, :K]
+        ii, jj = np.nonzero(np.triu(cov, 1)
+                            >= cfg.loop.essential_graph_min_covis)
+        edges_i += ii.tolist()
+        edges_j += jj.tolist()
+        # Loop edges.
+        for a, b in self.loop_edges:
+            edges_i.append(int(a))
+            edges_j.append(int(b))
+
+        E = len(edges_i)
+        if E == 0:
+            return
+        ei = np.asarray(edges_i, np.int32)
+        ej = np.asarray(edges_j, np.int32)
+        n_loop = len(self.loop_edges)
+        # Non-loop edges: measured from the PRE-correction snapshot (drifted
+        # but internally consistent); loop edges: from the corrected poses.
+        # This is what makes the graph distribute the loop correction.
+        snap_R = getattr(self, "_snapshot_R", m.kf_R)
+        snap_t = getattr(self, "_snapshot_t", m.kf_t)
+        Ri, ti = snap_R[ei].copy(), snap_t[ei].copy()
+        Rj, tj = snap_R[ej].copy(), snap_t[ej].copy()
+        if n_loop:
+            Ri[-n_loop:] = m.kf_R[ei[-n_loop:]]
+            ti[-n_loop:] = m.kf_t[ei[-n_loop:]]
+            Rj[-n_loop:] = m.kf_R[ej[-n_loop:]]
+            tj[-n_loop:] = m.kf_t[ej[-n_loop:]]
+        R_rel = np.einsum("eij,ekj->eik", Ri, Rj)      # Ri Rj^T
+        t_rel = ti - np.einsum("eij,ej->ei", R_rel, tj)
+
+        valid_k = np.zeros(K, bool)
+        valid_k[kfs] = True
+        fixed = np.zeros(K, bool)
+        fixed[fixed_kf] = True
+        fixed[~valid_k] = True
+
+        prob = pg_mod.PoseGraphProblem(
+            s=jnp.ones(K), R=jnp.asarray(m.kf_R[:K]),
+            t=jnp.asarray(m.kf_t[:K]),
+            fixed=jnp.asarray(fixed), valid=jnp.asarray(valid_k),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            edge_s=jnp.ones(E), edge_R=jnp.asarray(R_rel),
+            edge_t=jnp.asarray(t_rel), edge_valid=jnp.ones(E, bool),
+            edge_weight=jnp.ones(E))
+        out = pg_mod.optimize_pose_graph(
+            prob, cfg.optimizer, fix_scale=(cfg.sensor != "monocular"))
+
+        # Recover SE3 poses and remap points through their first-observing KF.
+        new_R = np.asarray(out.R)
+        new_t = np.asarray(out.t) / np.asarray(out.s)[:, None]
+        old_R = m.kf_R[:K].copy()
+        old_t = m.kf_t[:K].copy()
+        pids = m.valid_points()
+        owner = m.pt_first_kf[pids]
+        ok = (owner >= 0) & valid_k[np.clip(owner, 0, K - 1)]
+        pids, owner = pids[ok], owner[ok]
+        X = m.pt_pos[pids]
+        Xc = np.einsum("pij,pj->pi", old_R[owner], X) + old_t[owner]
+        Rn = new_R[owner]
+        X_new = np.einsum("pji,pj->pi", Rn, Xc - new_t[owner])
+        m.pt_pos[pids] = X_new
+        for k in kfs:
+            m.set_keyframe_pose(int(k), new_R[k], new_t[k])

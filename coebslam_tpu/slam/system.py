@@ -63,6 +63,9 @@ class System:
             self.kf_db = KeyFrameDatabase(vocabulary, self.map,
                                           cfg.map.max_keyframes)
             self.relocalizer = Relocalizer(cfg, self.map, self.kf_db)
+            from .loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(cfg, self.map, self.kf_db,
+                                          mapper=self.mapper)
             self._jit_bow = jax.jit(
                 lambda d, v: voc_mod.transform(vocabulary, d, v))
 
@@ -77,6 +80,8 @@ class System:
         self._frame_count = 0
         self._rng = jax.random.PRNGKey(0)
         self._recent_masks: List[np.ndarray] = []
+        from ..utils.metrics import MetricsCollector
+        self.metrics = MetricsCollector()
 
         self._jit_dynamic = jax.jit(
             lambda pg, g, b, k: dynamic_mod.dynamic_frontend(pg, g, b, k, cfg))
@@ -156,9 +161,17 @@ class System:
                 # reset-on-lost, Tracking.cc:542-550).
                 mask = all_box_mask
 
+        import time as _time
+        t0 = _time.perf_counter()
         state, n = self.tracker.process_frame(
             gray, jnp.asarray(depth), stamp,
             dynamic_mask=mask, area_mode=area_mode, spawn_mask=spawn_mask)
+        self.metrics.record(
+            frame=self._frame_count, stamp=stamp, state=state, n_inliers=n,
+            n_map_points=len(self.map.valid_points()),
+            n_keyframes=len(self.map.valid_keyframes()),
+            budget=self.tracker.state.budget,
+            wall_ms=( _time.perf_counter() - t0) * 1e3)
         self._prev_gray = gray
         self._frame_count += 1
         self._maybe_reset(state)
@@ -166,14 +179,51 @@ class System:
 
     def track_monocular(self, rgb_or_gray, stamp: float,
                         boxes: Optional[Sequence] = None):
-        """Monocular entry (System::TrackMonocular).  Requires the monocular
-        initializer path (slam/initializer.py)."""
-        raise NotImplementedError(
-            "monocular tracking lands with the initializer milestone")
+        """Monocular entry (System::TrackMonocular, System.cc:262-308):
+        two-view H/F initialization, then the standard tracking pipeline
+        with triangulation-only map growth.  This restores the path the
+        fork broke (SURVEY §2.5: mono extraction commented out at
+        Frame.cc:268)."""
+        assert self.cfg.sensor == "monocular", \
+            "construct the System with cfg.sensor='monocular'"
+        gray = self._to_gray(rgb_or_gray)
+        mask = None
+        if self.cfg.use_dynamic_filtering and boxes is not None:
+            from ..ops import blur as blur_ops
+            if self._prev_gray is not None:
+                padded = self._pad_boxes(boxes)
+                self._rng, key = jax.random.split(self._rng)
+                dres = self._jit_dynamic(self._prev_gray, gray, padded, key)
+                mask = dres.mask
+                self.last_dynamic = dres
+        state, n = self.tracker.process_frame(gray, None, stamp,
+                                              dynamic_mask=mask)
+        self._prev_gray = gray
+        self._frame_count += 1
+        self._maybe_reset(state)
+        return state, n
 
     def track_stereo(self, left, right, stamp: float):
-        raise NotImplementedError(
-            "stereo tracking lands with the stereo-matching milestone")
+        """Stereo entry (System::TrackStereo, System.cc:128-174): rectified
+        left/right pair; depth synthesized by row-band stereo matching, then
+        the RGB-D tracking path applies unchanged."""
+        assert self.cfg.sensor == "stereo", \
+            "construct the System with cfg.sensor='stereo'"
+        from . import frame as frame_mod
+        gl = self._to_gray(left)
+        gr = self._to_gray(right)
+        if not hasattr(self, "_jit_stereo_frontend"):
+            cfg = self.cfg
+            self._jit_stereo_frontend = jax.jit(
+                lambda a, b, n: frame_mod.process_stereo(
+                    a, b, cfg.camera, cfg.orb, n_features=n))
+        fd = self._jit_stereo_frontend(gl, gr,
+                                       jnp.int32(self.tracker.state.budget))
+        state, n = self.tracker.process_frame_data(fd, stamp)
+        self._prev_gray = gl
+        self._frame_count += 1
+        self._maybe_reset(state)
+        return state, n
 
     # ------------------------------------------------------------------ #
 

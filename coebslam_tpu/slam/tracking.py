@@ -169,6 +169,9 @@ class Tracker:
         self.ref_kf: int = -1
         self.on_keyframe = None     # callback(kf_id) — local mapping hook
         self.reloc_fn = None        # callback(fd) -> RelocResult (BoW rel.)
+        # Monocular initialization state (Tracking::MonocularInitialization).
+        self._mono_ref: Optional[FrameData] = None
+        self._mono_ref_stamp: float = 0.0
 
         # Static config is closed over (frozen dataclasses are not pytrees).
         self._jit_frontend = jax.jit(
@@ -187,11 +190,16 @@ class Tracker:
     def process_frame(self, gray, depth, stamp: float,
                       dynamic_mask=None, area_mode: bool = False,
                       spawn_mask=None):
-        """Track one RGB-D frame.  Returns (state_str, n_inliers).
+        """Track one frame.  Returns (state_str, n_inliers).
 
+        ``depth``: [H, W] metres for RGB-D; pass None for monocular (the
+        front-end then produces depthless observations and map points come
+        from two-view initialization + triangulation).
         ``spawn_mask``: optional [H, W] bool — regions where map points must
         not be CREATED (keypoints there may still match existing points)."""
         self._spawn_mask = None if spawn_mask is None else np.asarray(spawn_mask)
+        if depth is None:
+            depth = jnp.zeros_like(jnp.asarray(gray))
         budget = jnp.int32(self.state.budget)
         if dynamic_mask is not None:
             fd: FrameData = self._jit_frontend_masked(
@@ -202,7 +210,10 @@ class Tracker:
                                     budget)
 
         if self.state.mode == NOT_INITIALIZED:
-            n = self._initialize(fd, stamp)
+            if self.cfg.sensor == "monocular":
+                n = self._initialize_monocular(fd, stamp)
+            else:
+                n = self._initialize(fd, stamp)
             self._record_pose(stamp)
             return self.state.mode, n
 
@@ -244,7 +255,109 @@ class Tracker:
             self.on_keyframe(kf)
         return n_feat
 
+    def process_frame_data(self, fd: FrameData, stamp: float):
+        """Track a pre-built FrameData (used by the stereo front-end, whose
+        frame constructor differs but whose tracking path is identical)."""
+        self._spawn_mask = None
+        if self.state.mode == NOT_INITIALIZED:
+            n = self._initialize(fd, stamp)
+            self._record_pose(stamp)
+            return self.state.mode, n
+        n_inliers = self._track(fd, stamp)
+        self._apply_adaptive_budget(n_inliers)
+        self._record_pose(stamp)
+        self.state.frame_idx += 1
+        return self.state.mode, n_inliers
+
     # ------------------------------------------------------------------ #
+
+    def _initialize_monocular(self, fd: FrameData, stamp: float) -> int:
+        """Two-view monocular initialization (Tracking.cc:631-821):
+        hold a reference frame with > 100 keypoints, match the next frames
+        in a wide window, run the batched H/F initializer, build the initial
+        map from the triangulated points, normalize scale by median depth.
+        """
+        from ..ops import initializer_ops, matching as matching_ops
+
+        n_feat = int(fd.feats.valid.sum())
+        if self._mono_ref is None:
+            if n_feat > 100:
+                self._mono_ref = fd
+                self._mono_ref_stamp = stamp
+            return n_feat
+        if n_feat <= 100:
+            self._mono_ref = None
+            return n_feat
+
+        ref = self._mono_ref
+        d = matching_ops.hamming_matrix(ref.feats.signed_desc(),
+                                        fd.feats.signed_desc())
+        d = d + matching_ops.window_penalty(
+            ref.feats.uv, fd.feats.uv, self.cfg.matcher.radius_init)
+        res = matching_ops.match(d, max_distance=self.cfg.matcher.th_low,
+                                 ratio=self.cfg.matcher.nn_ratio_init,
+                                 mutual=True, row_valid=ref.feats.valid,
+                                 col_valid=fd.feats.valid)
+        if int(res.valid.sum()) < 100:
+            self._mono_ref = None   # reference too stale — restart
+            return n_feat
+
+        uv2 = fd.feats.uv[jnp.clip(res.idx, 0)]
+        key = jax.random.PRNGKey(int(stamp * 1e4) & 0x7fffffff)
+        rec_res = initializer_ops.reconstruct(
+            ref.feats.uv, uv2, res.valid, self.cfg.camera, key,
+            n_hypotheses=self.cfg.ransac.init_iterations,
+            sigma=self.cfg.ransac.init_sigma)
+        if not bool(rec_res.ok):
+            return n_feat
+
+        # Scale normalization: median depth of triangulated points -> 1
+        # (Tracking.cc:756-780).
+        good = np.asarray(rec_res.good)
+        X = np.asarray(rec_res.points)
+        med = float(np.median(X[good][:, 2]))
+        if med <= 0:
+            return n_feat
+        X = X / med
+        t2 = np.asarray(rec_res.t) / med
+        R2 = np.asarray(rec_res.R)
+
+        ref_rec = self._to_record(ref)
+        cur_rec = self._to_record(fd)
+
+        # KF1 at identity.
+        ids = self.map.add_points(X[good], ref_rec.desc[good], first_kf=0,
+                                  angles=ref_rec.angle[good])
+        pids1 = np.full(ref_rec.uv.shape[0], -1, np.int32)
+        pids1[np.nonzero(good)[0][ids >= 0]] = ids[ids >= 0]
+        kf1 = self.map.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            self._mono_ref_stamp, ref_rec.uv, ref_rec.level, ref_rec.angle,
+            ref_rec.desc, ref_rec.depth, ref_rec.ur, ref_rec.valid, pids1)
+        # KF2 at the recovered pose.
+        idx2 = np.asarray(res.idx)
+        pids2 = np.full(cur_rec.uv.shape[0], -1, np.int32)
+        sel = np.nonzero(good)[0][ids >= 0]
+        pids2[idx2[sel]] = ids[ids >= 0]
+        kf2 = self.map.add_keyframe(
+            R2, t2.astype(np.float32), stamp, cur_rec.uv, cur_rec.level,
+            cur_rec.angle, cur_rec.desc, cur_rec.depth, cur_rec.ur,
+            cur_rec.valid, pids2)
+        self.map.update_point_stats(ids[ids >= 0])
+
+        self.state.pose_R, self.state.pose_t = R2, t2.astype(np.float32)
+        self.last_frame = cur_rec._replace(point_ids=pids2)
+        self.ref_kf = kf2
+        self.state.last_kf = kf2
+        self.state.frames_since_kf = 0
+        self.state.mode = OK
+        self._mono_ref = None
+        if self.on_keyframe:
+            self.on_keyframe(kf1)
+            self.on_keyframe(kf2)
+            self.state.pose_R = self.map.kf_R[kf2].copy()
+            self.state.pose_t = self.map.kf_t[kf2].copy()
+        return int(res.valid.sum())
 
     def _track(self, fd: FrameData, stamp: float) -> int:
         cfg = self.cfg
@@ -434,8 +547,10 @@ class Tracker:
         # against the best inlier count seen since the last insertion catches
         # the same "tracking is wearing out" signal the reference's ratio
         # aims at.
-        decayed = n_inliers < t.kf_ref_ratio_stereo * self.state.peak_inliers_since_kf
-        c2 = (n_inliers < n_ref * t.kf_ref_ratio_stereo or decayed
+        ratio = t.kf_ref_ratio_mono if self.cfg.sensor == "monocular" \
+            else t.kf_ref_ratio_stereo
+        decayed = n_inliers < ratio * self.state.peak_inliers_since_kf
+        c2 = (n_inliers < n_ref * ratio or decayed
               or need_close) and n_inliers > t.min_inliers_kf
         return bool((c1a or (c1b and c2)) and n_inliers > t.min_inliers_kf)
 
