@@ -262,27 +262,41 @@ class LocalMapper:
         pt_pos[:n_pts] = m.pt_pos[pts]
         pt_valid[:n_pts] = True
 
-        obs_kf = np.full((P, M), -1, np.int32)
-        obs_uvr = np.zeros((P, M, 3), np.float32)
-        obs_w = np.ones((P, M), np.float32)
-        obs_valid = np.zeros((P, M), bool)
+        # Observation-table fill from the point back-references (native
+        # runtime when available; python fallback otherwise).
+        from .. import native
 
-        # Vectorized observation-table fill from the point back-references.
         okf = m.pt_obs_kf[pts]          # [n, MAX_OBS]
         oslot = m.pt_obs_slot[pts]
         in_window = np.isin(okf, window) & (okf >= 0)
         sf2 = (self.cfg.orb.scale_factor ** 2)
-        for i in range(n_pts):
-            cols = np.nonzero(in_window[i])[0][:M]
-            for j, c in enumerate(cols):
-                k_global = int(okf[i, c])
-                s = int(oslot[i, c])
-                obs_kf[i, j] = kf_index[k_global]
-                uv = m.kf_uv[k_global, s]
-                ur = m.kf_ur[k_global, s]
-                obs_uvr[i, j] = (uv[0], uv[1], ur)
-                obs_w[i, j] = 1.0 / (sf2 ** m.kf_level[k_global, s])
-                obs_valid[i, j] = True
+        kf_index_map = np.full(m.kf_R.shape[0], -1, np.int32)
+        for g, w_idx in kf_index.items():
+            kf_index_map[g] = w_idx
+
+        obs_kf = np.full((P, M), -1, np.int32)
+        obs_uvr = np.zeros((P, M, 3), np.float32)
+        obs_w = np.ones((P, M), np.float32)
+        obs_valid = np.zeros((P, M), bool)
+        if native.available():
+            okf_n, ouvr_n, ow_n, ov_n = native.fill_ba_obs_table(
+                okf, oslot, kf_index_map, m.kf_uv, m.kf_ur, m.kf_level,
+                sf2, M)
+            obs_kf[:n_pts] = okf_n
+            obs_uvr[:n_pts] = ouvr_n
+            obs_w[:n_pts] = ow_n
+            obs_valid[:n_pts] = ov_n
+        else:
+            for i in range(n_pts):
+                cols = np.nonzero(in_window[i])[0][:M]
+                for j, c in enumerate(cols):
+                    k_global = int(okf[i, c])
+                    s = int(oslot[i, c])
+                    obs_kf[i, j] = kf_index[k_global]
+                    uv = m.kf_uv[k_global, s]
+                    obs_uvr[i, j] = (uv[0], uv[1], m.kf_ur[k_global, s])
+                    obs_w[i, j] = 1.0 / (sf2 ** m.kf_level[k_global, s])
+                    obs_valid[i, j] = True
 
         prob = local_ba.BAProblem(
             kf_R=jnp.asarray(kf_R), kf_t=jnp.asarray(kf_t),

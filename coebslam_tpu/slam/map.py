@@ -109,14 +109,21 @@ class MapArena:
     def update_covisibility(self, k: int) -> None:
         """Recount shared points between KF k and all others; set spanning
         parent on first connection (weight threshold 15, KeyFrame.cc:330)."""
+        from .. import native
+
         obs = self.kf_obs_pt[k]
         observed = obs[obs >= 0]
         if len(observed) == 0:
             return
-        mask = np.zeros(self.pt_pos.shape[0], bool)
-        mask[observed] = True
-        other = self.kf_obs_pt[:self.n_kf]            # [K', N]
-        shared = (mask[np.clip(other, 0, None)] & (other >= 0)).sum(1)
+        if native.available():
+            shared = native.covisibility_row(self.kf_obs_pt, int(k),
+                                             self.n_kf,
+                                             self.pt_pos.shape[0])
+        else:
+            mask = np.zeros(self.pt_pos.shape[0], bool)
+            mask[observed] = True
+            other = self.kf_obs_pt[:self.n_kf]        # [K', N]
+            shared = (mask[np.clip(other, 0, None)] & (other >= 0)).sum(1)
         shared[k] = 0
         self.covis[k, :self.n_kf] = shared
         self.covis[:self.n_kf, k] = shared
@@ -243,39 +250,66 @@ class MapArena:
     def update_point_stats(self, pids) -> None:
         """Recompute distinctive descriptor + normal + scale band for the
         given points (MapPoint::ComputeDistinctiveDescriptors min-median-
-        Hamming, MapPoint.cc:287-298; UpdateNormalAndDepth, 367-368)."""
+        Hamming, MapPoint.cc:287-298; UpdateNormalAndDepth, 367-368).
+
+        The descriptor medians run in the native runtime when available
+        (coebslam_tpu/native); geometry is vectorized numpy either way.
+        """
+        from .. import native
+
         sf = self.cfg.orb.scale_factor
         n_levels = self.cfg.orb.n_levels
-        for pid in np.atleast_1d(pids):
-            kfs = self.pt_obs_kf[pid]
-            sel = kfs >= 0
-            if not sel.any():
-                continue
-            kf_ids = kfs[sel]
-            slots = self.pt_obs_slot[pid][sel]
-            descs = self.kf_desc[kf_ids, slots]          # [m, 32]
-            bits = np.unpackbits(descs, axis=1)
-            ham = (bits[:, None, :] != bits[None, :, :]).sum(-1)
-            med = np.median(ham, axis=1)
-            best = int(np.argmin(med))
-            self.pt_desc[pid] = descs[best]
-            self.pt_angle[pid] = self.kf_angle[kf_ids[best], slots[best]]
-            # Normal: mean unit vector from observing camera centres.
-            Rk = self.kf_R[kf_ids]
-            tk = self.kf_t[kf_ids]
-            centers = -np.einsum("kji,kj->ki", Rk, tk)   # -R^T t
-            vecs = self.pt_pos[pid][None] - centers
-            norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
-            vecs = vecs / np.maximum(norms, 1e-9)
-            nrm = vecs.mean(0)
-            self.pt_normal[pid] = nrm / max(np.linalg.norm(nrm), 1e-9)
-            # Scale-invariance band from the reference KF's level
-            # (MapPoint.cc:376-382: 0.8*min / 1.2*max handled at query time).
-            ref_i = 0
-            dist = float(norms[ref_i, 0])
-            level = int(self.kf_level[kf_ids[ref_i], slots[ref_i]])
-            self.pt_max_dist[pid] = dist * (sf ** level)
-            self.pt_min_dist[pid] = self.pt_max_dist[pid] / (sf ** (n_levels - 1))
+        pids = np.atleast_1d(np.asarray(pids, np.int64))
+        pids = pids[pids >= 0]
+        if len(pids) == 0:
+            return
+        okf = self.pt_obs_kf[pids]
+        oslot = self.pt_obs_slot[pids]
+        has_obs = (okf >= 0).any(1)
+
+        # --- distinctive descriptors (+ representative observation) ---
+        if native.available():
+            desc, bkf, bslot = native.distinctive_descriptors(
+                self.kf_desc, okf, oslot)
+            sel = has_obs & (bkf >= 0)
+            self.pt_desc[pids[sel]] = desc[sel]
+            self.pt_angle[pids[sel]] = self.kf_angle[bkf[sel], bslot[sel]]
+        else:
+            for i, pid in enumerate(pids):
+                if not has_obs[i]:
+                    continue
+                s = okf[i] >= 0
+                kf_ids, slots = okf[i][s], oslot[i][s]
+                descs = self.kf_desc[kf_ids, slots]
+                bits = np.unpackbits(descs, axis=1)
+                ham = (bits[:, None, :] != bits[None, :, :]).sum(-1)
+                best = int(np.argmin(np.median(ham, axis=1)))
+                self.pt_desc[pid] = descs[best]
+                self.pt_angle[pid] = self.kf_angle[kf_ids[best], slots[best]]
+
+        # --- normals + scale bands, vectorized over all points/obs ---
+        kf_safe = np.clip(okf, 0, None)
+        Rk = self.kf_R[kf_safe]                         # [n, m, 3, 3]
+        tk = self.kf_t[kf_safe]                         # [n, m, 3]
+        centers = -np.einsum("nmji,nmj->nmi", Rk, tk)
+        vecs = self.pt_pos[pids][:, None, :] - centers
+        norms = np.linalg.norm(vecs, axis=-1)
+        w = (okf >= 0).astype(np.float32)
+        unit = vecs / np.maximum(norms, 1e-9)[..., None]
+        nrm = (unit * w[..., None]).sum(1)
+        nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        self.pt_normal[pids[has_obs]] = (nrm / np.maximum(nlen, 1e-9))[has_obs]
+
+        # Reference observation = first valid column.
+        first = np.argmax(okf >= 0, axis=1)
+        rng = np.arange(len(pids))
+        ref_kf = okf[rng, first]
+        ref_slot = oslot[rng, first]
+        dist = norms[rng, first]
+        level = self.kf_level[np.clip(ref_kf, 0, None), ref_slot]
+        max_d = dist * (sf ** level)
+        self.pt_max_dist[pids[has_obs]] = max_d[has_obs]
+        self.pt_min_dist[pids[has_obs]] = (max_d / (sf ** (n_levels - 1)))[has_obs]
 
     # ------------------------------------------------------------------ #
     # queries
