@@ -29,16 +29,39 @@ def main():
     from coebslam_tpu.utils import synthetic
 
     cfg = SystemConfig()          # full TUM VGA: 640x480, 8 levels, 1000 feat
-    planes = synthetic.make_room(seed=0)
     n_frames = 40
-    poses = synthetic.camera_trajectory(n_frames, radius=0.35)
-    render = jax.jit(lambda p: synthetic.render(cfg.camera, p, planes)[:2])
 
-    # Pre-render all frames to host so rendering isn't in the timed loop.
-    frames = []
-    for p in poses:
-        g, d = render(p)
-        frames.append((np.asarray(g), np.asarray(d)))
+    # Pre-render all frames in a CPU-forced child process: the ray-caster is
+    # test scaffolding (not the benchmarked system), its gather-heavy HLO is
+    # pathological for the TPU compiler, and the TPU claim is exclusive —
+    # the child must never initialize the TPU backend.
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"coebslam_bench_frames_{n_frames}.npz")
+    if not os.path.exists(cache):
+        helper = (
+            "import jax; jax.config.update('jax_platforms','cpu')\n"
+            "import numpy as np, sys\n"
+            f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+            "from coebslam_tpu.config import SystemConfig\n"
+            "from coebslam_tpu.utils import synthetic\n"
+            "cfg = SystemConfig()\n"
+            "planes = synthetic.make_room(seed=0)\n"
+            f"poses = synthetic.camera_trajectory({n_frames}, radius=0.35)\n"
+            "render = jax.jit(lambda p: synthetic.render(cfg.camera, p, planes)[:2])\n"
+            "gs, ds = [], []\n"
+            "for p in poses:\n"
+            "    g, d = render(p)\n"
+            "    gs.append(np.asarray(g)); ds.append(np.asarray(d))\n"
+            f"np.savez({cache!r}, g=np.stack(gs), d=np.stack(ds))\n")
+        subprocess.run([sys.executable, "-c", helper], check=True,
+                       timeout=900)
+    z = np.load(cache)
+    frames = [(z["g"][i], z["d"][i]) for i in range(n_frames)]
 
     tracker = Tracker(cfg)
     mapper = LocalMapper(cfg, tracker.map)
@@ -46,9 +69,14 @@ def main():
 
     # Warmup: first frames trigger every compile (frontend, both track-step
     # shapes, local BA).
+    import sys as _sys
+    import time as _t
     n_warm = 6
     for i in range(n_warm):
+        t0 = _t.perf_counter()
         tracker.process_frame(frames[i][0], frames[i][1], stamp=i / 30.0)
+        print(f"warmup {i}: {_t.perf_counter()-t0:.1f}s", file=_sys.stderr,
+              flush=True)
 
     t0 = time.perf_counter()
     n_timed = 0
@@ -56,6 +84,13 @@ def main():
         tracker.process_frame(frames[i][0], frames[i][1], stamp=i / 30.0)
         n_timed += 1
     elapsed = time.perf_counter() - t0
+
+    if hasattr(mapper, "stage_ms"):
+        total = sum(mapper.stage_ms.values())
+        print(f"mapper stages (total {total/1e3:.1f}s over run): "
+              + ", ".join(f"{k}={v/1e3:.1f}s"
+                          for k, v in sorted(mapper.stage_ms.items())),
+              file=_sys.stderr, flush=True)
 
     fps = n_timed / elapsed
     print(json.dumps({

@@ -52,12 +52,21 @@ class LocalMapper:
 
     def process_keyframe(self, kf_id: int) -> None:
         """Run the mapping pipeline for a freshly inserted keyframe."""
-        self.cull_map_points(kf_id)
-        self.create_new_map_points(kf_id)
-        self.fuse_neighbors(kf_id)
+        import time as _t
+        self.stage_ms = getattr(self, "stage_ms", {})
+
+        def timed(name, fn, *a):
+            t0 = _t.perf_counter()
+            fn(*a)
+            self.stage_ms[name] = self.stage_ms.get(name, 0.0) \
+                + (_t.perf_counter() - t0) * 1e3
+
+        timed("cull_points", self.cull_map_points, kf_id)
+        timed("triangulate", self.create_new_map_points, kf_id)
+        timed("fuse", self.fuse_neighbors, kf_id)
         if self.map.n_kf >= 3:
-            self.run_local_ba(kf_id)
-        self.cull_keyframes(kf_id)
+            timed("local_ba", self.run_local_ba, kf_id)
+        timed("cull_kfs", self.cull_keyframes, kf_id)
 
     # ------------------------------------------------------------------ #
 
@@ -166,6 +175,7 @@ class LocalMapper:
         neighbors and merge duplicates (same landmark observed under two
         ids)."""
         m = self.map
+        cam = self.cfg.camera
         neighbors = m.best_covisible(kf_id, 10)
         if len(neighbors) == 0:
             return
@@ -173,34 +183,43 @@ class LocalMapper:
         own_pids = own[own >= 0]
         if len(own_pids) == 0:
             return
-        pos = m.pt_pos[own_pids]
-        signed_own = _signed(m.pt_desc[own_pids])
+
+        # Device-side projection + windowed Hamming matching (the numpy
+        # version of this inner product dominated whole-frame time).
+        if not hasattr(self, "_jit_fuse"):
+            def fuse_match(pos, own_signed, R, t, nb_uv, nb_signed, nb_valid):
+                pc = pos @ R.T + t
+                z = jnp.maximum(pc[:, 2], 1e-6)
+                u = cam.fx * pc[:, 0] / z + cam.cx
+                v = cam.fy * pc[:, 1] / z + cam.cy
+                vis = (pc[:, 2] > 0.05) & (u >= 0) & (u < cam.width) \
+                    & (v >= 0) & (v < cam.height)
+                ham = matching_ops.hamming_matrix(own_signed, nb_signed)
+                close = (jnp.abs(nb_uv[None, :, 0] - u[:, None]) <= 3.0) \
+                    & (jnp.abs(nb_uv[None, :, 1] - v[:, None]) <= 3.0) \
+                    & nb_valid[None, :]
+                ham = jnp.where(close, ham, 1e9)
+                return vis, jnp.argmin(ham, 1).astype(jnp.int32), jnp.min(ham, 1)
+
+            self._jit_fuse = jax.jit(fuse_match)
+
+        n_pad = m.kf_uv.shape[1]
+        pos_pad = np.zeros((n_pad, 3), np.float32)
+        pos_pad[:len(own_pids)] = m.pt_pos[own_pids]
+        desc_pad = np.zeros((n_pad, 32), np.uint8)
+        desc_pad[:len(own_pids)] = m.pt_desc[own_pids]
+        own_signed_dev = _signed_jnp(desc_pad)
+        pos_dev = jnp.asarray(pos_pad)
 
         for nb in neighbors:
-            R, t = m.kf_R[nb], m.kf_t[nb]
-            pc = pos @ R.T + t
-            z = pc[:, 2]
-            u = self.cfg.camera.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cfg.camera.cx
-            v = self.cfg.camera.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cfg.camera.cy
-            vis = (z > 0.05) & (u >= 0) & (u < self.cfg.camera.width) \
-                & (v >= 0) & (v < self.cfg.camera.height)
-            if not vis.any():
-                continue
-            nb_valid = m.kf_kp_valid[nb]
-            nb_uv = m.kf_uv[nb]
-            # For each visible own-point: nearest neighbor keypoint within
-            # 3 px that is bound to a DIFFERENT point id -> merge.
-            du = np.abs(nb_uv[None, :, 0] - u[:, None])
-            dv = np.abs(nb_uv[None, :, 1] - v[:, None])
-            close = (du <= 3.0) & (dv <= 3.0) & nb_valid[None, :]
-            if not close.any():
-                continue
-            signed_nb = _signed(m.kf_desc[nb])
-            ham = 0.5 * (256 - signed_own.astype(np.float32)
-                         @ signed_nb.astype(np.float32).T)
-            ham = np.where(close, ham, 1e9)
-            best_slot = ham.argmin(1)
-            best_dist = ham.min(1)
+            vis_d, best_slot_d, best_dist_d = self._jit_fuse(
+                pos_dev, own_signed_dev,
+                jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
+                jnp.asarray(m.kf_uv[nb]), _signed_jnp(m.kf_desc[nb]),
+                jnp.asarray(m.kf_kp_valid[nb]))
+            vis = np.asarray(vis_d)[:len(own_pids)]
+            best_slot = np.asarray(best_slot_d)[:len(own_pids)]
+            best_dist = np.asarray(best_dist_d)[:len(own_pids)]
             for i in np.nonzero(vis & (best_dist <= self.cfg.matcher.th_low))[0]:
                 pid_own = int(own_pids[i])
                 slot = int(best_slot[i])
@@ -313,18 +332,23 @@ class LocalMapper:
             if not fixed[i]:
                 m.set_keyframe_pose(int(k), new_R[i], new_t[i])
         m.pt_pos[pts] = np.asarray(result.pt_pos)[:n_pts]
+        m.bump()
 
-        # Erase gated-out observations (Optimizer.cc:711-757).
+        # Erase gated-out observations (Optimizer.cc:711-757).  Vectorized:
+        # map each filled (i, j) table cell back to its source column, then
+        # loop only over the actual removals (few).
         ov = np.asarray(result.obs_valid)[:n_pts]
-        for i in range(n_pts):
-            cols = np.nonzero(in_window[i])[0][:M]
-            for j, c in enumerate(cols):
-                if not ov[i, j] and obs_kf[i, j] >= 0:
-                    m._remove_observation(int(pts[i]), int(okf[i, c]))
-                    # also clear the forward reference
-                    kf_g, s = int(okf[i, c]), int(oslot[i, c])
-                    if m.kf_obs_pt[kf_g, s] == pts[i]:
-                        m.kf_obs_pt[kf_g, s] = -1
+        filled = obs_kf[:n_pts] >= 0
+        # Source column of the j-th filled cell per row.
+        order = np.argsort(~in_window, axis=1, kind="stable")   # in-window first
+        src_col = order[:, :M]
+        bad_i, bad_j = np.nonzero(filled & ~ov)
+        for i, j in zip(bad_i, bad_j):
+            c = src_col[i, j]
+            kf_g, slot = int(okf[i, c]), int(oslot[i, c])
+            m._remove_observation(int(pts[i]), kf_g)
+            if m.kf_obs_pt[kf_g, slot] == pts[i]:
+                m.kf_obs_pt[kf_g, slot] = -1
 
     # ------------------------------------------------------------------ #
 

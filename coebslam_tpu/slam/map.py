@@ -68,6 +68,12 @@ class MapArena:
         self.pt_obs_slot = np.full((P, MAX_OBS_PER_POINT), -1, np.int32)
         self.n_pt = 0
         self._free_pt: List[int] = []   # recycled point ids
+        # Monotonic mutation counter: device-side mirrors (tracking keeps the
+        # point arrays resident on the TPU) refresh when this changes.
+        self.version = 0
+
+    def bump(self) -> None:
+        self.version += 1
 
     # ------------------------------------------------------------------ #
     # keyframes
@@ -169,31 +175,33 @@ class MapArena:
         """Batch-create map points; returns their ids ([-1 where arena full])."""
         positions = np.atleast_2d(positions)
         m = len(positions)
+        # Bulk id allocation: recycled slots first, then the arena tail.
+        n_free = min(len(self._free_pt), m)
+        alloc = [self._free_pt.pop() for _ in range(n_free)]
+        n_tail = min(m - n_free, self.pt_pos.shape[0] - self.n_pt)
+        alloc += list(range(self.n_pt, self.n_pt + n_tail))
+        self.n_pt += n_tail
         ids = np.full(m, -1, np.int32)
-        for i in range(m):
-            if self._free_pt:
-                p = self._free_pt.pop()
-            elif self.n_pt < self.pt_pos.shape[0]:
-                p = self.n_pt
-                self.n_pt += 1
-            else:
-                break
-            ids[i] = p
-            self.pt_pos[p] = positions[i]
-            self.pt_desc[p] = descs[i]
-            self.pt_valid[p] = True
-            self.pt_found[p] = 1
-            self.pt_visible[p] = 1
-            self.pt_first_kf[p] = first_kf
-            self.pt_obs_kf[p] = -1
-            self.pt_obs_slot[p] = -1
+        if alloc:
+            sel = np.asarray(alloc, np.int64)
+            k = len(sel)
+            ids[:k] = sel
+            self.pt_pos[sel] = positions[:k]
+            self.pt_desc[sel] = np.atleast_2d(descs)[:k]
+            self.pt_valid[sel] = True
+            self.pt_found[sel] = 1
+            self.pt_visible[sel] = 1
+            self.pt_first_kf[sel] = first_kf
+            self.pt_obs_kf[sel] = -1
+            self.pt_obs_slot[sel] = -1
             if angles is not None:
-                self.pt_angle[p] = angles[i]
+                self.pt_angle[sel] = np.atleast_1d(angles)[:k]
             if normals is not None:
-                self.pt_normal[p] = normals[i]
+                self.pt_normal[sel] = np.atleast_2d(normals)[:k]
             if min_dists is not None:
-                self.pt_min_dist[p] = min_dists[i]
-                self.pt_max_dist[p] = max_dists[i]
+                self.pt_min_dist[sel] = np.atleast_1d(min_dists)[:k]
+                self.pt_max_dist[sel] = np.atleast_1d(max_dists)[:k]
+        self.bump()
         return ids
 
     def _add_observation(self, pid: int, kf: int, slot: int) -> None:
@@ -225,6 +233,7 @@ class MapArena:
         self.pt_obs_slot[pid] = -1
         self.pt_valid[pid] = False
         self._free_pt.append(pid)
+        self.bump()
 
     def replace_point(self, old: int, new: int) -> None:
         """MapPoint::Replace — redirect observations of `old` to `new`
@@ -246,6 +255,7 @@ class MapArena:
         self.pt_obs_slot[old] = -1
         self.pt_valid[old] = False
         self._free_pt.append(old)
+        self.bump()
 
     def update_point_stats(self, pids) -> None:
         """Recompute distinctive descriptor + normal + scale band for the
@@ -310,6 +320,7 @@ class MapArena:
         max_d = dist * (sf ** level)
         self.pt_max_dist[pids[has_obs]] = max_d[has_obs]
         self.pt_min_dist[pids[has_obs]] = (max_d / (sf ** (n_levels - 1)))[has_obs]
+        self.bump()
 
     # ------------------------------------------------------------------ #
     # queries

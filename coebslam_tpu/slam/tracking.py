@@ -181,9 +181,16 @@ class Tracker:
             lambda g, d, n, m, a: frame_mod.process_rgbd(
                 g, d, cfg.camera, cfg.orb, n_features=n,
                 dynamic_mask=m, area_mode=a))
+        # The map's point arrays live device-resident (uploaded only when
+        # arena.version changes); per-call traffic is just the candidate id
+        # list — gathering happens on-device.  Through the remote-TPU relay
+        # this is the difference between ~10 MB and ~20 KB per frame.
         self._jit_track = jax.jit(
-            lambda fd, pp, pts, sd, pv, pa, pn, pmin, pmax, r: track_step(
-                fd, pp, pts, sd, pv, pa, pn, pmin, pmax, r, cfg))
+            lambda fd, pp, pos, sd, pv, pa, pn, pmin, pmax, ids, idv, r:
+            track_step(fd, pp, pos[ids], sd[ids], idv & pv[ids], pa[ids],
+                       pn[ids], pmin[ids], pmax[ids], r, cfg))
+        self._dev_version = -1
+        self._dev_map = None
 
     # ------------------------------------------------------------------ #
 
@@ -494,20 +501,28 @@ class Tracker:
         return (dt <= t.max_translation_per_frame * scale
                 and ang <= t.max_rotation_per_frame * scale)
 
+    def _device_map(self):
+        """Device-resident point arrays, refreshed on arena mutation."""
+        m = self.map
+        if self._dev_map is None or self._dev_version != m.version:
+            self._dev_map = (
+                jnp.asarray(m.pt_pos),
+                brief.to_signed(brief.unpack_bits(jnp.asarray(m.pt_desc))),
+                jnp.asarray(m.pt_valid),
+                jnp.asarray(m.pt_angle),
+                jnp.asarray(m.pt_normal),
+                jnp.asarray(m.pt_min_dist),
+                jnp.asarray(m.pt_max_dist),
+            )
+            self._dev_version = m.version
+        return self._dev_map
+
     def _run_track(self, fd, pose_pred, point_ids, radius) -> TrackStepResult:
-        pts_w = jnp.asarray(self.map.pt_pos[np.clip(point_ids, 0, None)])
-        pt_valid = jnp.asarray((point_ids >= 0)
-                               & self.map.pt_valid[np.clip(point_ids, 0, None)])
-        signed = brief.to_signed(brief.unpack_bits(
-            jnp.asarray(self.map.pt_desc[np.clip(point_ids, 0, None)])))
-        idx = np.clip(point_ids, 0, None)
-        angles = jnp.asarray(self.map.pt_angle[idx])
-        normals = jnp.asarray(self.map.pt_normal[idx])
-        dmin = jnp.asarray(self.map.pt_min_dist[idx])
-        dmax = jnp.asarray(self.map.pt_max_dist[idx])
-        return self._jit_track(fd, pose_pred, pts_w, signed, pt_valid,
-                               angles, normals, dmin, dmax,
-                               jnp.float32(radius))
+        pos, sd, pv, pa, pn, pmin, pmax = self._device_map()
+        ids = jnp.asarray(np.clip(point_ids, 0, None).astype(np.int32))
+        idv = jnp.asarray(point_ids >= 0)
+        return self._jit_track(fd, pose_pred, pos, sd, pv, pa, pn, pmin,
+                               pmax, ids, idv, jnp.float32(radius))
 
     def _pad_ids(self, ids: np.ndarray, size: int) -> np.ndarray:
         out = np.full(size, -1, np.int32)
