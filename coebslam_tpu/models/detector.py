@@ -83,3 +83,62 @@ class YoloDetector:
         boxes, scores, classes = self._jit_run(jnp.asarray(gray))
         b = np.asarray(boxes)
         return b[b[:, 0] >= 0]
+
+
+class BlurGate:
+    """Flow-magnitude frame gate (yolo_v5_blur.py parity, SURVEY §2.3).
+
+    The reference's experimental detector variant measures LK-flow magnitude
+    between consecutive frames; when motion exceeds a threshold it buffers 3
+    frames and emits only the sharpest (yolo_v5_blur.py:55-69,111-142),
+    trading latency for blur robustness during fast motion.
+
+    Usage: ``keep, best = gate.push(gray)`` per frame; ``keep`` False means
+    "buffering, skip this frame", ``best`` is the sharpest buffered frame
+    (with its stamp) when the buffer flushes.
+    """
+
+    def __init__(self, flow_threshold: float = 500.0, buffer_size: int = 3,
+                 n_track_points: int = 256):
+        import jax
+        import jax.numpy as jnp
+        from ..ops import blur as blur_ops
+        from ..ops import lk_flow
+
+        self.flow_threshold = float(flow_threshold)
+        self.buffer_size = int(buffer_size)
+        self._buf = []                     # [(stamp, gray, sharpness)]
+        self._prev = None
+
+        def measure(prev_gray, gray):
+            pl = lk_flow.build_flow_pyramid(prev_gray)
+            nl = lk_flow.build_flow_pyramid(gray)
+            pts, ok = lk_flow.good_features(prev_gray, n_track_points)
+            fr = lk_flow.lk_flow(pl, nl, pts)
+            mag = jnp.where(ok & fr.valid,
+                            jnp.linalg.norm(fr.points - pts, axis=-1), 0.0)
+            # yolo_v5_blur sums |du|+|dv| over tracked corners as its motion
+            # statistic; Laplacian variance is its sharpness score.
+            motion = mag.sum()
+            sharp = jnp.var(blur_ops.laplacian_map(gray))
+            return motion, sharp
+
+        self._jit_measure = jax.jit(measure)
+
+    def push(self, gray, stamp: float = 0.0):
+        """Returns (emit: bool, (stamp, gray) or None)."""
+        import jax.numpy as jnp
+        g = jnp.asarray(gray)
+        if self._prev is None:
+            self._prev = g
+            return True, (stamp, gray)
+        motion, sharp = self._jit_measure(self._prev, g)
+        self._prev = g
+        if float(motion) <= self.flow_threshold and not self._buf:
+            return True, (stamp, gray)
+        self._buf.append((stamp, gray, float(sharp)))
+        if len(self._buf) < self.buffer_size:
+            return False, None
+        best = max(self._buf, key=lambda x: x[2])
+        self._buf = []
+        return True, (best[0], best[1])

@@ -225,3 +225,20 @@ def load_orbvoc_text(path: str) -> Vocabulary:
             weights.append(weight)
     return Vocabulary(node_desc, children, word_id,
                       np.asarray(weights, np.float32), node_level, L, k)
+
+
+def save(path: str, voc: Vocabulary) -> None:
+    """Persist a vocabulary as .npz (fast to reload vs the ~100 MB
+    ORBvoc.txt parse the reference pays at every startup, System.cc:71-78)."""
+    np.savez_compressed(
+        path, node_desc=voc.node_desc, children=voc.children,
+        word_id=voc.word_id, word_weight=voc.word_weight,
+        node_level=voc.node_level,
+        meta=np.asarray([voc.depth, voc.branching], np.int32))
+
+
+def load(path: str) -> Vocabulary:
+    z = np.load(path)
+    return Vocabulary(z["node_desc"], z["children"], z["word_id"],
+                      z["word_weight"], z["node_level"],
+                      int(z["meta"][0]), int(z["meta"][1]))
