@@ -85,11 +85,10 @@ def pack_bits(bits):
 
 
 def unpack_bits(packed):
-    """[N, 32] uint8 -> [N, 256] {0,1} uint8."""
-    n = packed.shape[0]
+    """[..., 32] uint8 -> [..., 256] {0,1} uint8."""
     shifts = jnp.arange(8, dtype=jnp.uint8)
-    bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
-    return bits.reshape(n, N_BITS)
+    bits = (packed[..., :, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*packed.shape[:-1], N_BITS)
 
 
 def to_signed(bits):

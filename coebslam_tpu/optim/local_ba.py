@@ -101,10 +101,39 @@ def _residuals_jacobians(prob: BAProblem, cam: CameraConfig):
     return e, Jc, Jp, is_stereo
 
 
+def _inv3x3(H):
+    """Closed-form inverse of [..., 3, 3] matrices (adjugate/determinant) —
+    batched jnp.linalg.inv lowers to LU loops; this is pure VPU math."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g, h, k = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A = e * k - f * h
+    B = c * h - b * k
+    C = b * f - c * e
+    D = f * g - d * k
+    E = a * k - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    Hc = b * g - a * h
+    K = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    rows = jnp.stack([jnp.stack([A, B, C], -1), jnp.stack([D, E, F], -1),
+                      jnp.stack([G, Hc, K], -1)], -2)
+    return rows * inv_det[..., None, None]
+
+
 def _gn_iteration(prob: BAProblem, cam: CameraConfig, use_huber,
                   chi2_mono: float, chi2_stereo: float, damping: float,
                   reduce_fn=None):
     """One Schur-complement GN step; returns updated poses/points.
+
+    Layout note: all per-observation quantities live in **lane-major**
+    [small..., M, P] / [small..., MP] arrays — the observation axis last.
+    TPU tiles the trailing two dims to (8, 128); the naive [P, M, 6, 6]
+    layout wastes ~95% of each tile on padding and made one iteration cost
+    ~30 ms.  Lane-major VPU math + one-hot MXU matmuls for the reduced
+    system run the same iteration in ~1 ms.
 
     ``reduce_fn(S, b)`` is the distributed-assembly hook: under shard_map
     with the point axis sharded, pass ``lambda S, b: (psum(S), psum(b))`` and
@@ -112,46 +141,110 @@ def _gn_iteration(prob: BAProblem, cam: CameraConfig, use_huber,
     rides ICI, and the (tiny) dense solve is computed replicated — the
     collective Schur assembly of SURVEY §5.8/§7.1."""
     K = prob.kf_R.shape[0]
-    e, Jc, Jp, is_stereo = _residuals_jacobians(prob, cam)
+    P, M = prob.obs_kf.shape
+    MP = M * P
+    f32 = jnp.float32
 
-    chi2 = jnp.sum(e * e, axis=-1) * prob.obs_w            # [P, M]
+    kf_idx = jnp.clip(prob.obs_kf, 0).T                    # [M, P]
+    # Pose components gathered per observation, unstacked to [M, P] lanes.
+    Rg = prob.kf_R[kf_idx]                                 # [M, P, 3, 3]
+    tg = prob.kf_t[kf_idx]                                 # [M, P, 3]
+    X = prob.pt_pos.T[:, None, :]                          # [3, 1, P]
+    R = [[Rg[..., i, j] for j in range(3)] for i in range(3)]   # [M,P] each
+    t = [tg[..., i] for i in range(3)]
+
+    px = R[0][0] * X[0] + R[0][1] * X[1] + R[0][2] * X[2] + t[0]
+    py = R[1][0] * X[0] + R[1][1] * X[1] + R[1][2] * X[2] + t[1]
+    pz = R[2][0] * X[0] + R[2][1] * X[1] + R[2][2] * X[2] + t[2]
+    iz = 1.0 / jnp.maximum(pz, 1e-6)
+    iz2 = iz * iz
+
+    u = cam.fx * px * iz + cam.cx
+    v = cam.fy * py * iz + cam.cy
+    ur = u - cam.bf * iz
+    obs = prob.obs_uvr.transpose(2, 1, 0)                  # [3, M, P]
+    is_stereo = obs[2] >= 0.0
+    e = [obs[0] - u, obs[1] - v,
+         jnp.where(is_stereo, obs[2] - ur, 0.0)]           # 3 x [M, P]
+
+    # d(pred)/dp rows (3 obs rows x 3 point coords), each [M, P].
+    dur_z = jnp.where(is_stereo, -cam.fx * px * iz2 + cam.bf * iz2, 0.0)
+    dur_x = jnp.where(is_stereo, cam.fx * iz, 0.0)
+    zero = jnp.zeros_like(px)
+    dpred = [[cam.fx * iz, zero, -cam.fx * px * iz2],
+             [zero, cam.fy * iz, -cam.fy * py * iz2],
+             [dur_x, zero, dur_z]]
+
+    # Camera Jacobian: dp/dxi with xi = [omega | upsilon];
+    # dp/domega = -hat(p) => columns [0..2]; dp/dupsilon = I => [3..5].
+    hat = [[zero, pz, -py, jnp.ones_like(px), zero, zero],
+           [-pz, zero, px, zero, jnp.ones_like(px), zero],
+           [py, -px, zero, zero, zero, jnp.ones_like(px)]]
+    Jc = [[sum(dpred[r][s] * hat[s][i] for s in range(3)) for i in range(6)]
+          for r in range(3)]                               # [3][6] of [M, P]
+    # Point Jacobian: dpred/dX = dpred/dp . R.
+    Jp = [[sum(dpred[r][s] * R[s][j] for s in range(3)) for j in range(3)]
+          for r in range(3)]                               # [3][3] of [M, P]
+
+    chi2 = sum(ei * ei for ei in e) * prob.obs_w.T         # [M, P]
     delta = jnp.where(is_stereo, jnp.sqrt(chi2_stereo), jnp.sqrt(chi2_mono))
     err = jnp.sqrt(jnp.maximum(chi2, 1e-12))
     w_rob = jnp.where(use_huber & (err > delta), delta / err, 1.0)
-    w = (w_rob * prob.obs_w
-         * prob.obs_valid
-         * prob.pt_valid[:, None]
-         * (prob.obs_kf >= 0))                             # [P, M]
+    w = (w_rob * prob.obs_w.T * prob.obs_valid.T
+         * prob.pt_valid[None, :] * (prob.obs_kf.T >= 0))  # [M, P]
 
-    # Per-observation blocks.
-    Hcc_o = jnp.einsum("pmri,pm,pmrj->pmij", Jc, w, Jc)    # [P, M, 6, 6]
-    Hpp_o = jnp.einsum("pmri,pm,pmrj->pmij", Jp, w, Jp)    # [P, M, 3, 3]
-    A_o = jnp.einsum("pmri,pm,pmrj->pmij", Jc, w, Jp)      # [P, M, 6, 3]
-    bc_o = jnp.einsum("pmri,pm,pmr->pmi", Jc, w, e)        # [P, M, 6]
-    bp_o = jnp.einsum("pmri,pm,pmr->pmi", Jp, w, e)        # [P, M, 3]
-
-    # Point systems.  Levenberg-style relative damping: near-singular point
-    # Hessians (low-parallax tracks) otherwise break the f32 inversion.
-    Hpp = Hpp_o.sum(1)                                     # [P, 3, 3]
-    bp = bp_o.sum(1)                                       # [P, 3]
-    diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)           # [P, 3]
+    # Point Hessian/rhs: sum over rows r and observations m -> [P] lanes.
+    Hpp = jnp.stack([jnp.stack(
+        [sum(Jp[r][i] * w * Jp[r][j] for r in range(3)).sum(0)
+         for j in range(3)], -1) for i in range(3)], -2)   # [P, 3, 3]
+    bp = [sum(Jp[r][s] * w * e[r] for r in range(3)).sum(0)
+          for s in range(3)]                               # 3 x [P]
+    diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     Hpp = Hpp + jnp.eye(3) * (1e-3 * diag + damping)[:, None, :]
-    Hpp_inv = jnp.linalg.inv(Hpp)
+    Hpp_inv = _inv3x3(Hpp)                                 # [P, 3, 3]
+    Hi = [[Hpp_inv[:, i, j] for j in range(3)] for i in range(3)]
 
-    # Reduced camera system S [K, 6, 6] blocks [K, K].
-    kf_idx = jnp.clip(prob.obs_kf, 0)                      # [P, M]
-    S = jnp.zeros((K, K, 6, 6))
-    b = jnp.zeros((K, 6))
-    # Diagonal H_cc contributions.
-    S = S.at[kf_idx, kf_idx].add(Hcc_o)
-    b = b.at[kf_idx].add(bc_o)
-    # Schur cross terms: for each point, all pairs of its observations.
-    AHinv = jnp.einsum("pmij,pjk->pmik", A_o, Hpp_inv)     # [P, M, 6, 3]
-    cross = jnp.einsum("pmik,pnjk->pmnij", AHinv, A_o)     # [P, M, M, 6, 6]
-    i_idx = jnp.broadcast_to(kf_idx[:, :, None], cross.shape[:3])
-    j_idx = jnp.broadcast_to(kf_idx[:, None, :], cross.shape[:3])
-    S = S.at[i_idx, j_idx].add(-cross)
-    b = b.at[kf_idx].add(-jnp.einsum("pmik,pk->pmi", AHinv, bp))
+    # Per-observation camera blocks, weighted.
+    wJc = [[w * Jc[r][i] for i in range(6)] for r in range(3)]
+    # A[i][j] = sum_r Jc[r][i] w Jp[r][j]  -> [M, P]
+    A = [[sum(wJc[r][i] * Jp[r][j] for r in range(3)) for j in range(3)]
+         for i in range(6)]
+    # AHinv[i][s] = sum_j A[i][j] Hpp_inv[j][s] (Hi broadcast over M).
+    AHinv = [[sum(A[i][j] * Hi[j][s] for j in range(3)) for s in range(3)]
+             for i in range(6)]
+
+    onehot = (kf_idx.reshape(1, MP)
+              == jnp.arange(K)[:, None]).astype(f32)       # [K, MP]
+
+    # Diagonal H_cc: Hcc[i,j] = sum_r Jc[r][i] w Jc[r][j]; reduce with the
+    # one-hot as a [K, MP] x [MP, 36] matmul.
+    Hcc_flat = jnp.stack([sum(wJc[r][i] * Jc[r][j] for r in range(3))
+                          .reshape(MP)
+                          for i in range(6) for j in range(6)], -1)
+    S_diag = (onehot @ Hcc_flat).reshape(K, 6, 6)
+    bc_flat = jnp.stack([sum(wJc[r][i] * e[r] for r in range(3)).reshape(MP)
+                         for i in range(6)], -1)           # [MP, 6]
+    b = onehot @ bc_flat                                   # [K, 6]
+
+    # Schur cross terms couple every PAIR of observations (m, n) of the same
+    # point: S[k,l] -= sum_p (sum_{m in k} AHinv_m)(sum_{n in l} A_n)^T.
+    # Sum over M per point first (VPU, M is small), then one MXU matmul
+    # contracting over P.
+    oh_mp = (kf_idx[None, :, :]
+             == jnp.arange(K)[:, None, None]).astype(f32)   # [K, M, P]
+    T = jnp.stack([jnp.stack(
+        [(oh_mp * AHinv[i][s][None]).sum(1) for s in range(3)], 1)
+        for i in range(6)], 1)                              # [K, 6, 3, P]
+    U = jnp.stack([jnp.stack(
+        [(oh_mp * A[j][s][None]).sum(1) for s in range(3)], 1)
+        for j in range(6)], 1)                              # [K, 6, 3, P]
+    cross = (T.reshape(K * 18, P) @ U.reshape(K * 18, P).T
+             ).reshape(K, 6, 3, K, 6, 3)
+    S = -jnp.einsum("kisljs->klij", cross)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(S_diag)
+    # b correction: b[k,i] -= sum_p T[k,i,s,p] bp[s][p].
+    bp_sp = jnp.stack(bp)                                  # [3, P]
+    b = b - jnp.einsum("kisp,sp->ki", T, bp_sp)
 
     if reduce_fn is not None:
         S, b = reduce_fn(S, b)
@@ -173,8 +266,13 @@ def _gn_iteration(prob: BAProblem, cam: CameraConfig, use_huber,
     dxi = dxi * free_f[:, None]
 
     # Back-substitute points: dp = Hpp^-1 (bp - sum_m A^T dxi_kf).
-    At_dxi = jnp.einsum("pmij,pmi->pmj", A_o, dxi[kf_idx])
-    dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - At_dxi.sum(1))
+    # dxi per observation, lane-major: [6, MP] = dxi.T @ onehot.
+    dxi_mp = (dxi.T @ onehot).reshape(6, M, P)
+    Atd = [sum(A[i][j] * dxi_mp[i] for i in range(6)).sum(0)
+           for j in range(3)]                              # 3 x [P]
+    rhs = [bp[j] - Atd[j] for j in range(3)]
+    dp = jnp.stack([sum(Hi[s][j] * rhs[j] for j in range(3))
+                    for s in range(3)], -1)                # [P, 3]
     dp_norm = jnp.linalg.norm(dp, axis=-1, keepdims=True)
     dp = dp * jnp.minimum(1.0, 0.5 / jnp.maximum(dp_norm, 1e-12))
     dp = dp * prob.pt_valid[:, None].astype(dp.dtype)

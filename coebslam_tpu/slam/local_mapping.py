@@ -88,23 +88,23 @@ class LocalMapper:
         if len(nbrs) == 0:
             return
         if not hasattr(self, "_jit_triangulate"):
-            self._jit_triangulate = jax.jit(
+            # All neighbors in ONE dispatch: vmap over the neighbor axis.
+            # Per-neighbor calls each pay the dispatch round trip (~40 ms on
+            # a tunneled TPU), which dominated this stage.
+            self._jit_triangulate = jax.jit(jax.vmap(
                 lambda uv1, d1, v1, l1, uv2, d2, v2, l2, ur2, T1, T2:
                 tri.triangulate_pair(uv1, d1, v1, l1, uv2, d2, v2, l2, ur2,
                                      T1, T2, cfg.camera, cfg.orb,
-                                     cfg.matcher))
+                                     cfg.matcher),
+                in_axes=(None, None, 0, None, 0, 0, 0, 0, 0, None, 0)))
 
-        T1 = SE3(jnp.asarray(m.kf_R[kf_id]), jnp.asarray(m.kf_t[kf_id]))
+        # Baseline gate (LocalMapping.cc:244-262): RGB-D requires the
+        # baseline to exceed the stereo baseline; monocular requires
+        # baseline/median-depth > 0.01.  Evaluated host-side (cheap numpy).
         C1 = -m.kf_R[kf_id].T @ m.kf_t[kf_id]
-        uv1 = jnp.asarray(m.kf_uv[kf_id])
-        l1 = jnp.asarray(m.kf_level[kf_id])
-        d1 = _signed_jnp(m.kf_desc[kf_id])
-
+        keep = []
         for nb in nbrs:
             nb = int(nb)
-            # Baseline gate (LocalMapping.cc:244-262): RGB-D requires the
-            # baseline to exceed the stereo baseline; monocular requires
-            # baseline/median-depth > 0.01.
             C2 = -m.kf_R[nb].T @ m.kf_t[nb]
             baseline = float(np.linalg.norm(C1 - C2))
             if mono:
@@ -114,24 +114,43 @@ class LocalMapper:
                     continue
             elif baseline < self.cfg.camera.baseline:
                 continue
+            if (m.kf_kp_valid[nb] & (m.kf_obs_pt[nb] < 0)).sum() >= 10:
+                keep.append(nb)
+        v1 = (m.kf_kp_valid[kf_id]) & (m.kf_obs_pt[kf_id] < 0)
+        if not keep or v1.sum() < 10:
+            m.update_covisibility(kf_id)
+            return
+        # Pad the neighbor axis to the configured count so the vmapped
+        # program compiles once (padding rows carry v2=False => no output).
+        nbrs = np.asarray(keep + [keep[0]] * (n_nbr - len(keep)), np.int64)
+        pad = np.arange(len(nbrs)) >= len(keep)
 
-            # Unassociated keypoints on both sides.
-            v1 = (m.kf_kp_valid[kf_id]) & (m.kf_obs_pt[kf_id] < 0)
-            v2 = (m.kf_kp_valid[nb]) & (m.kf_obs_pt[nb] < 0)
-            if v1.sum() < 10 or v2.sum() < 10:
-                continue
-            T2 = SE3(jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]))
-            res = self._jit_triangulate(
-                uv1, d1, jnp.asarray(v1), l1,
-                jnp.asarray(m.kf_uv[nb]), _signed_jnp(m.kf_desc[nb]),
-                jnp.asarray(v2), jnp.asarray(m.kf_level[nb]),
-                jnp.asarray(m.kf_ur[nb]), T1, T2)
-            good = np.asarray(res.good)
+        T1 = SE3(jnp.asarray(m.kf_R[kf_id]), jnp.asarray(m.kf_t[kf_id]))
+        uv1 = jnp.asarray(m.kf_uv[kf_id])
+        l1 = jnp.asarray(m.kf_level[kf_id])
+        d1 = _signed_jnp(m.kf_desc[kf_id])
+        v2 = m.kf_kp_valid[nbrs] & (m.kf_obs_pt[nbrs] < 0) & ~pad[:, None]
+        res = self._jit_triangulate(
+            uv1, d1, jnp.asarray(np.tile(v1, (len(nbrs), 1))), l1,
+            jnp.asarray(m.kf_uv[nbrs]), _signed_jnp(m.kf_desc[nbrs]),
+            jnp.asarray(v2), jnp.asarray(m.kf_level[nbrs]),
+            jnp.asarray(m.kf_ur[nbrs]), T1,
+            SE3(jnp.asarray(m.kf_R[nbrs]), jnp.asarray(m.kf_t[nbrs])))
+        good_all, idx2_all, pts_all = jax.device_get(
+            (res.good, res.idx2, res.points))
+
+        # Sequential-semantics dedup: the reference marks a keypoint
+        # associated as soon as one neighbor triangulates it, so later
+        # neighbors skip it; here the first (best-covisible) neighbor wins.
+        claimed = np.zeros(v1.shape[0], bool)
+        for b, nb in enumerate(nbrs[:len(keep)]):
+            good = good_all[b] & ~claimed
             if not good.any():
                 continue
+            claimed |= good
             slots1 = np.nonzero(good)[0]
-            slots2 = np.asarray(res.idx2)[slots1]
-            pts = np.asarray(res.points)[slots1]
+            slots2 = idx2_all[b][slots1]
+            pts = pts_all[b][slots1]
             ids = m.add_points(pts, m.kf_desc[kf_id][slots1],
                                first_kf=kf_id,
                                angles=m.kf_angle[kf_id][slots1])
@@ -139,8 +158,8 @@ class LocalMapper:
             for s1, s2, pid in zip(slots1[ok], slots2[ok], ids[ok]):
                 m.kf_obs_pt[kf_id, s1] = pid
                 m._add_observation(int(pid), kf_id, int(s1))
-                m.kf_obs_pt[nb, s2] = pid
-                m._add_observation(int(pid), nb, int(s2))
+                m.kf_obs_pt[int(nb), s2] = pid
+                m._add_observation(int(pid), int(nb), int(s2))
             m.update_point_stats(ids[ok])
         m.update_covisibility(kf_id)
 
@@ -184,8 +203,10 @@ class LocalMapper:
         if len(own_pids) == 0:
             return
 
-        # Device-side projection + windowed Hamming matching (the numpy
-        # version of this inner product dominated whole-frame time).
+        # Device-side projection + windowed Hamming matching, all neighbors
+        # batched into one dispatch (per-neighbor calls each paid the ~40 ms
+        # relay round trip).
+        N_FUSE_NBR = 10
         if not hasattr(self, "_jit_fuse"):
             def fuse_match(pos, own_signed, R, t, nb_uv, nb_signed, nb_valid):
                 pc = pos @ R.T + t
@@ -201,25 +222,30 @@ class LocalMapper:
                 ham = jnp.where(close, ham, 1e9)
                 return vis, jnp.argmin(ham, 1).astype(jnp.int32), jnp.min(ham, 1)
 
-            self._jit_fuse = jax.jit(fuse_match)
+            self._jit_fuse = jax.jit(jax.vmap(
+                fuse_match, in_axes=(None, None, 0, 0, 0, 0, 0)))
 
         n_pad = m.kf_uv.shape[1]
         pos_pad = np.zeros((n_pad, 3), np.float32)
         pos_pad[:len(own_pids)] = m.pt_pos[own_pids]
         desc_pad = np.zeros((n_pad, 32), np.uint8)
         desc_pad[:len(own_pids)] = m.pt_desc[own_pids]
-        own_signed_dev = _signed_jnp(desc_pad)
-        pos_dev = jnp.asarray(pos_pad)
 
-        for nb in neighbors:
-            vis_d, best_slot_d, best_dist_d = self._jit_fuse(
-                pos_dev, own_signed_dev,
-                jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
-                jnp.asarray(m.kf_uv[nb]), _signed_jnp(m.kf_desc[nb]),
-                jnp.asarray(m.kf_kp_valid[nb]))
-            vis = np.asarray(vis_d)[:len(own_pids)]
-            best_slot = np.asarray(best_slot_d)[:len(own_pids)]
-            best_dist = np.asarray(best_dist_d)[:len(own_pids)]
+        nbp = np.asarray(list(neighbors)
+                         + [int(neighbors[0])] * (N_FUSE_NBR - len(neighbors)),
+                         np.int64)[:N_FUSE_NBR]
+        pad = np.arange(len(nbp)) >= len(neighbors)
+        vis_a, slot_a, dist_a = jax.device_get(self._jit_fuse(
+            jnp.asarray(pos_pad), _signed_jnp(desc_pad),
+            jnp.asarray(m.kf_R[nbp]), jnp.asarray(m.kf_t[nbp]),
+            jnp.asarray(m.kf_uv[nbp]), _signed_jnp(m.kf_desc[nbp]),
+            jnp.asarray(m.kf_kp_valid[nbp] & ~pad[:, None])))
+
+        for b, nb in enumerate(nbp[:len(neighbors)]):
+            nb = int(nb)
+            vis = vis_a[b][:len(own_pids)]
+            best_slot = slot_a[b][:len(own_pids)]
+            best_dist = dist_a[b][:len(own_pids)]
             for i in np.nonzero(vis & (best_dist <= self.cfg.matcher.th_low))[0]:
                 pid_own = int(own_pids[i])
                 slot = int(best_slot[i])

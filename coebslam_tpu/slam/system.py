@@ -34,6 +34,18 @@ SENSOR_MONOCULAR = "monocular"
 SENSOR_STEREO = "stereo"
 
 
+def _np_box_mask(h: int, w: int, boxes: np.ndarray) -> np.ndarray:
+    """Host-side union of box masks (numpy twin of ops.blur._box_mask —
+    cheaper than a device dispatch for this bookkeeping path)."""
+    mask = np.zeros((h, w), bool)
+    for b in boxes:
+        if b[0] >= 0:
+            x0, y0 = max(0, int(b[0])), max(0, int(b[1]))
+            x1, y1 = min(w - 1, int(b[2])), min(h - 1, int(b[3]))
+            mask[y0:y1 + 1, x0:x1 + 1] = True
+    return mask
+
+
 class System:
     def __init__(self, cfg: SystemConfig, detector=None, vocabulary=None):
         """Args:
@@ -115,8 +127,6 @@ class System:
 
         Returns (state, n_inliers).
         """
-        from ..ops import blur as blur_ops
-
         gray = self._to_gray(rgb_or_gray)
         mask = None
         area_mode = False
@@ -125,11 +135,11 @@ class System:
         if self.cfg.use_dynamic_filtering:
             if boxes is None and self.detector is not None:
                 boxes = self.detector.detect(gray)
-            h, w = gray.shape
+            h, w = np.asarray(gray.shape)
             if boxes is not None:
                 padded = self._pad_boxes(boxes)
-                all_box_mask = jnp.any(blur_ops._box_mask(h, w, padded),
-                                       axis=0)
+                all_box_mask = _np_box_mask(int(h), int(w),
+                                            np.asarray(padded))
                 if not self.cfg.dynamic.spawn_in_boxes:
                     # Extension: never CREATE map points inside detector
                     # boxes — one unclassified frame otherwise bakes a mover
@@ -138,8 +148,9 @@ class System:
             if boxes is not None and self._prev_gray is not None:
                 self._rng, key = jax.random.split(self._rng)
                 dres = self._jit_dynamic(self._prev_gray, gray, padded, key)
-                mask = np.asarray(dres.mask)
-                area_mode = bool(dres.area_flag)
+                # One bundled fetch: mask + area flag together.
+                mask, area_flag = jax.device_get((dres.mask, dres.area_flag))
+                area_mode = bool(area_flag)
                 self.last_dynamic = dres
                 # Sticky masking: movers stay masked for a few frames even
                 # when per-frame epipolar evidence is intermittent.
@@ -150,7 +161,6 @@ class System:
                         self._recent_masks[-self.cfg.dynamic.sticky_frames:]
                     for rm in self._recent_masks:
                         mask = mask | rm
-                mask = jnp.asarray(mask)
             elif boxes is not None \
                     and self.tracker.state.mode == NOT_INITIALIZED:
                 # No previous frame => no motion evidence yet.  At

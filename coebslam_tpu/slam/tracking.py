@@ -125,6 +125,122 @@ def track_step(frame: FrameData, pose_pred: SE3, pts_w, pt_signed_desc,
                            n_matches=res.valid.sum().astype(jnp.int32))
 
 
+class FusedOut(NamedTuple):
+    """Single-fetch bundle of everything the host needs from one frame.
+
+    The per-frame pipeline (frontend + both tracking stages + retry + motion
+    gate + keyframe-policy statistics) runs as ONE device program: through a
+    remote-TPU relay every dispatch costs ~40 ms, so the naive
+    dispatch-per-stage layout (frontend, stage 1, wide retry, stage 2 x2,
+    plus stray jnp host math) pays ~10x the device compute in latency.
+    """
+    fd: FrameData              # device-resident; fetched only on KF creation
+    pose_R: jnp.ndarray        # [3, 3] final pose
+    pose_t: jnp.ndarray        # [3]
+    point_idx: jnp.ndarray     # [N] final match into the stage-2 id set
+    n_inl1: jnp.ndarray        # stage-1 inliers (post retry)
+    n_match1: jnp.ndarray
+    n_inl2a: jnp.ndarray       # wide local-map pass inliers
+    n_inl: jnp.ndarray         # final inliers
+    n_feat: jnp.ndarray        # extracted keypoint count
+    dt: jnp.ndarray            # |translation| vs last pose (motion gate)
+    ang: jnp.ndarray           # rotation angle vs last pose
+    tracked_close: jnp.ndarray     # close-depth kps with a map point
+    untracked_close: jnp.ndarray   # close-depth kps without one
+
+
+def _select(pred, a, b):
+    """Tree-select between two identically-shaped result pytrees."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def fused_frame_step(gray, depth_img, budget, R_pred, t_pred, R_last, t_last,
+                     s1_ids, s1_valid, s2_ids, s2_valid, arena,
+                     cfg: SystemConfig, dynamic_mask=None, area_mode=None,
+                     depth_scale: float = 1.0) -> FusedOut:
+    """The whole per-frame pipeline as one jittable program.
+
+    Args:
+      gray: [H, W] any dtype (uint8 preferred — 4x cheaper host->device).
+      depth_img: [H, W] float32 metres or uint16 raw (scaled by depth_scale).
+      s1_ids/s1_valid: stage-1 candidate map-point ids (last frame's points,
+        TrackWithMotionModel semantics).
+      s2_ids/s2_valid: stage-2 candidates (covisibility local map,
+        TrackLocalMap semantics).
+      arena: tuple of device-resident point arrays (pos, signed_desc, valid,
+        angle, normal, min_dist, max_dist) — see Tracker._device_map.
+    """
+    pos, sd, pv, pa, pn, pmin, pmax = arena
+    gray = gray.astype(jnp.float32)
+    depth_img = depth_img.astype(jnp.float32) * jnp.float32(depth_scale)
+    fd = frame_mod.process_rgbd(gray, depth_img, cfg.camera, cfg.orb,
+                                n_features=budget,
+                                dynamic_mask=dynamic_mask,
+                                area_mode=area_mode)
+    pose_pred = SE3(R_pred, t_pred)
+    pose_last = SE3(R_last, t_last)
+
+    def run(pose, ids, idv, radius):
+        return track_step(fd, pose, pos[ids], sd[ids], idv & pv[ids],
+                          pa[ids], pn[ids], pmin[ids], pmax[ids],
+                          jnp.float32(radius), cfg)
+
+    # Stage 1 + in-graph widened retry (Tracking.cc:956-966 semantics).
+    res1 = run(pose_pred, s1_ids, s1_valid, cfg.matcher.radius_motion_model)
+
+    def retry(_):
+        wide = run(pose_last, s1_ids, s1_valid,
+                   2.0 * cfg.matcher.radius_motion_model)
+        return _select(wide.n_inliers > res1.n_inliers, wide, res1)
+
+    res1 = jax.lax.cond(res1.n_inliers < 30, retry, lambda _: res1, None)
+
+    # Stage 2: wide pass absorbs stage-1 error, tight re-match refines.
+    res2a = run(res1.pose, s2_ids, s2_valid, 16.0)
+    ok2a = res2a.n_inliers >= cfg.tracking.min_inliers_track
+    pose_mid = _select(ok2a, res2a.pose, res1.pose)
+    res2 = run(pose_mid, s2_ids, s2_valid, 6.0)
+    final = _select(res2.n_inliers >= res2a.n_inliers, res2, res2a)
+
+    # Motion gate quantities (host compares against thresholds).
+    d = final.pose.compose(pose_last.inverse())
+    dt = jnp.linalg.norm(d.t)
+    ang = jnp.arccos(jnp.clip((jnp.trace(d.R) - 1.0) / 2.0, -1.0, 1.0))
+
+    # Keyframe-policy close-point statistics (NeedNewKeyFrame, RGB-D branch).
+    close = fd.feats.valid & (fd.depth > 0) \
+        & (fd.depth < cfg.camera.depth_threshold)
+    has_pt = final.point_idx >= 0
+    return FusedOut(
+        fd=fd, pose_R=final.pose.R, pose_t=final.pose.t,
+        point_idx=final.point_idx,
+        n_inl1=res1.n_inliers, n_match1=res1.n_matches,
+        n_inl2a=res2a.n_inliers, n_inl=final.n_inliers,
+        n_feat=fd.feats.valid.sum().astype(jnp.int32),
+        dt=dt, ang=ang,
+        tracked_close=(close & has_pt).sum().astype(jnp.int32),
+        untracked_close=(close & ~has_pt).sum().astype(jnp.int32))
+
+
+def _np_inv(R: np.ndarray, t: np.ndarray):
+    return R.T, -R.T @ t
+
+
+def _np_unproject_world(cam, uv: np.ndarray, depth: np.ndarray,
+                        R_cw: np.ndarray, t_cw: np.ndarray) -> np.ndarray:
+    """Unproject pixels to world coordinates, all numpy (UnprojectStereo,
+    Frame.cc:844 semantics): X_w = R_cw^T (X_c - t_cw)."""
+    z = depth.astype(np.float32)
+    x = (uv[:, 0] - cam.cx) / cam.fx * z
+    y = (uv[:, 1] - cam.cy) / cam.fy * z
+    pts_c = np.stack([x, y, z], axis=-1).astype(np.float32)
+    return (pts_c - t_cw) @ R_cw
+
+
+def _np_compose(Ra, ta, Rb, tb):
+    return Ra @ Rb, Ra @ tb + ta
+
+
 @dataclass
 class TrackerState:
     mode: str = NOT_INITIALIZED
@@ -174,13 +290,38 @@ class Tracker:
         self._mono_ref_stamp: float = 0.0
 
         # Static config is closed over (frozen dataclasses are not pytrees).
+        def _cast(g, d):
+            g = g.astype(jnp.float32)
+            if jnp.issubdtype(d.dtype, jnp.integer):
+                # Raw sensor depth (e.g. TUM uint16): scale in-graph so the
+                # host->device transfer ships 2 bytes/px instead of 4.
+                d = d.astype(jnp.float32) / cfg.camera.depth_map_factor
+            else:
+                d = d.astype(jnp.float32)
+            return g, d
+
         self._jit_frontend = jax.jit(
-            lambda g, d, n: frame_mod.process_rgbd(g, d, cfg.camera, cfg.orb,
-                                                   n_features=n))
+            lambda g, d, n: frame_mod.process_rgbd(
+                *_cast(g, d), cfg.camera, cfg.orb, n_features=n))
         self._jit_frontend_masked = jax.jit(
             lambda g, d, n, m, a: frame_mod.process_rgbd(
-                g, d, cfg.camera, cfg.orb, n_features=n,
+                *_cast(g, d), cfg.camera, cfg.orb, n_features=n,
                 dynamic_mask=m, area_mode=a))
+
+        def fused(g, d, n, Rp, tp, Rl, tl, s1i, s1v, s2i, s2v, arena):
+            g, d = _cast(g, d)
+            return fused_frame_step(g, d, n, Rp, tp, Rl, tl, s1i, s1v,
+                                    s2i, s2v, arena, cfg)
+
+        def fused_masked(g, d, n, Rp, tp, Rl, tl, s1i, s1v, s2i, s2v,
+                         arena, m, a):
+            g, d = _cast(g, d)
+            return fused_frame_step(g, d, n, Rp, tp, Rl, tl, s1i, s1v,
+                                    s2i, s2v, arena, cfg,
+                                    dynamic_mask=m, area_mode=a)
+
+        self._jit_fused = jax.jit(fused)
+        self._jit_fused_masked = jax.jit(fused_masked)
         # The map's point arrays live device-resident (uploaded only when
         # arena.version changes); per-call traffic is just the candidate id
         # list — gathering happens on-device.  Through the remote-TPU relay
@@ -206,17 +347,15 @@ class Tracker:
         not be CREATED (keypoints there may still match existing points)."""
         self._spawn_mask = None if spawn_mask is None else np.asarray(spawn_mask)
         if depth is None:
-            depth = jnp.zeros_like(jnp.asarray(gray))
+            depth = np.zeros(np.asarray(gray).shape, np.float32)
         budget = jnp.int32(self.state.budget)
-        if dynamic_mask is not None:
-            fd: FrameData = self._jit_frontend_masked(
-                jnp.asarray(gray), jnp.asarray(depth), budget,
-                jnp.asarray(dynamic_mask), jnp.bool_(area_mode))
-        else:
-            fd = self._jit_frontend(jnp.asarray(gray), jnp.asarray(depth),
-                                    budget)
 
         if self.state.mode == NOT_INITIALIZED:
+            if dynamic_mask is not None:
+                fd: FrameData = self._jit_frontend_masked(
+                    gray, depth, budget, dynamic_mask, jnp.bool_(area_mode))
+            else:
+                fd = self._jit_frontend(gray, depth, budget)
             if self.cfg.sensor == "monocular":
                 n = self._initialize_monocular(fd, stamp)
             else:
@@ -224,11 +363,168 @@ class Tracker:
             self._record_pose(stamp)
             return self.state.mode, n
 
-        n_inliers = self._track(fd, stamp)
+        out = self._dispatch_fused(gray, depth, budget, dynamic_mask,
+                                   area_mode)
+        n_inliers = self._track_fused(out, stamp)
         self._apply_adaptive_budget(n_inliers)
         self._record_pose(stamp)
         self.state.frame_idx += 1
         return self.state.mode, n_inliers
+
+    def _dispatch_fused(self, gray, depth, budget, dynamic_mask, area_mode
+                        ) -> FusedOut:
+        """One device dispatch for the whole frame; no host jnp math."""
+        st = self.state
+        if st.has_velocity:
+            Rp, tp = _np_compose(st.vel_R, st.vel_t, st.pose_R, st.pose_t)
+        else:
+            Rp, tp = st.pose_R, st.pose_t
+        lp = self.last_frame.point_ids
+        s1 = self._pad_ids(lp[lp >= 0], lp.shape[0])
+        local_kfs = self._local_keyframes()
+        local_ids = self.map.local_map_points(local_kfs, LOCAL_MAP_CAP)
+        self._last_local_ids = local_ids
+        arena = self._device_map()
+        args = (gray, depth, budget,
+                jnp.asarray(Rp), jnp.asarray(tp),
+                jnp.asarray(st.pose_R), jnp.asarray(st.pose_t),
+                jnp.asarray(np.clip(s1, 0, None).astype(np.int32)),
+                jnp.asarray(s1 >= 0),
+                jnp.asarray(np.clip(local_ids, 0, None).astype(np.int32)),
+                jnp.asarray(local_ids >= 0), arena)
+        if dynamic_mask is not None:
+            return self._jit_fused_masked(*args, jnp.asarray(dynamic_mask),
+                                          jnp.bool_(area_mode))
+        return self._jit_fused(*args)
+
+    def _track_fused(self, out: FusedOut, stamp: float) -> int:
+        """Host tail of the fused step: one bundled fetch, numpy decisions."""
+        cfg = self.cfg
+        st = self.state
+        local_ids = self._last_local_ids
+        fetched: FusedOut = jax.device_get(out)
+        relocalized = False
+
+        if int(fetched.n_inl1) < cfg.tracking.min_inliers_track:
+            # Rare recovery path (reloc / wide reference search) — allowed to
+            # pay extra dispatches.  Uses the device-resident fd from `out`.
+            vals = self._recover(out, fetched, local_ids)
+            if vals is None:
+                st.mode = LOST
+                st.n_lost_frames += 1
+                st.consec_ok = 0
+                st.has_velocity = False
+                return 0
+            pose_R, pose_t, point_idx, n_inliers, relocalized = vals
+            d_R, d_t = _np_compose(pose_R, pose_t,
+                                   *_np_inv(st.pose_R, st.pose_t))
+            dt = float(np.linalg.norm(d_t))
+            ang = float(np.arccos(np.clip((np.trace(d_R) - 1) / 2, -1, 1)))
+        else:
+            pose_R, pose_t = fetched.pose_R, fetched.pose_t
+            point_idx = fetched.point_idx
+            n_inliers = int(fetched.n_inl)
+            dt, ang = float(fetched.dt), float(fetched.ang)
+            self.debug_info = {
+                "s1_inl": int(fetched.n_inl1),
+                "s1_match": int(fetched.n_match1),
+                "s2a_inl": int(fetched.n_inl2a), "s2_inl": int(fetched.n_inl),
+                "n_local": int((local_ids >= 0).sum()),
+            }
+
+        # Motion sanity gate (relocalization is an absolute fix — exempt).
+        self.debug_motion = (dt, ang)
+        t = cfg.tracking
+        scale = 1.0 + (st.n_lost_frames if st.mode == LOST else 0)
+        if not relocalized and (dt > t.max_translation_per_frame * scale
+                                or ang > t.max_rotation_per_frame * scale):
+            st.mode = LOST
+            st.n_lost_frames += 1
+            st.consec_ok = 0
+            st.has_velocity = False
+            return 0
+
+        if n_inliers < cfg.tracking.min_inliers_track:
+            st.mode = LOST
+            st.n_lost_frames += 1
+            st.consec_ok = 0
+            st.has_velocity = False
+            return n_inliers
+
+        was_ok = st.mode == OK
+        st.mode = OK
+        st.consec_ok += 1
+        pose_R = np.asarray(pose_R, np.float32)
+        pose_t = np.asarray(pose_t, np.float32)
+        if was_ok:
+            st.vel_R, st.vel_t = _np_compose(pose_R, pose_t,
+                                             *_np_inv(st.pose_R, st.pose_t))
+            st.has_velocity = True
+        else:
+            st.has_velocity = False
+        st.pose_R, st.pose_t = pose_R, pose_t
+
+        # Found/visible bookkeeping for culling.
+        matched = np.asarray(point_idx)
+        sel = matched >= 0
+        pids = local_ids[matched[sel]]
+        self.map.pt_found[pids[pids >= 0]] += 1
+        self.map.pt_visible[local_ids[local_ids >= 0]] += 1
+
+        rec = self._fetched_record(fetched.fd)
+        point_ids = np.full(rec.uv.shape[0], -1, np.int32)
+        point_ids[sel] = local_ids[matched[sel]]
+        rec = rec._replace(point_ids=point_ids)
+        self.last_frame = rec
+
+        st.frames_since_kf += 1
+        st.peak_inliers_since_kf = max(st.peak_inliers_since_kf, n_inliers)
+        if self._need_keyframe(rec, n_inliers):
+            self._create_keyframe(rec, stamp)
+            st.peak_inliers_since_kf = n_inliers
+        return n_inliers
+
+    def _recover(self, out: FusedOut, fetched: FusedOut, local_ids):
+        """Stage-1 failure: BoW relocalization, else wide search against the
+        reference KF (Tracking.cc:1417 / 823), then local-map re-tracking."""
+        cfg = self.cfg
+        pose_cand = None
+        relocalized = False
+        if self.reloc_fn is not None:
+            rr = self.reloc_fn(out.fd)
+            if rr.ok:
+                pose_cand = SE3(jnp.asarray(rr.R), jnp.asarray(rr.t))
+                relocalized = True
+        if pose_cand is None:
+            ref_ids = self.map.kf_obs_pt[self.ref_kf]
+            ref_ids = self._pad_ids(ref_ids[ref_ids >= 0],
+                                    self.last_frame.point_ids.shape[0])
+            pose_last = SE3(jnp.asarray(self.state.pose_R),
+                            jnp.asarray(self.state.pose_t))
+            res = self._run_track(out.fd, pose_last, ref_ids, 50.0)
+            if int(res.n_inliers) < cfg.tracking.min_inliers_track:
+                return None
+            pose_cand = res.pose
+        res2a = self._run_track(out.fd, pose_cand, local_ids, 16.0)
+        pose = res2a.pose if int(res2a.n_inliers) \
+            >= cfg.tracking.min_inliers_track else pose_cand
+        res2 = self._run_track(out.fd, pose, local_ids, 6.0)
+        if int(res2.n_inliers) < int(res2a.n_inliers):
+            res2 = res2a
+        if int(res2.n_inliers) < cfg.tracking.min_inliers_track \
+                and not relocalized:
+            return None
+        return (np.asarray(res2.pose.R), np.asarray(res2.pose.t),
+                np.asarray(res2.point_idx), int(res2.n_inliers), relocalized)
+
+    def _fetched_record(self, fd_np) -> FrameRecord:
+        """FrameRecord from an already-fetched (numpy) FrameData."""
+        return FrameRecord(
+            uv=np.asarray(fd_np.feats.uv), level=np.asarray(fd_np.feats.level),
+            angle=np.asarray(fd_np.feats.angle),
+            desc=np.asarray(fd_np.feats.desc), depth=np.asarray(fd_np.depth),
+            ur=np.asarray(fd_np.ur), valid=np.asarray(fd_np.feats.valid),
+            point_ids=np.full(fd_np.depth.shape[0], -1, np.int32))
 
     # ------------------------------------------------------------------ #
 
@@ -240,11 +536,9 @@ class Tracker:
             return n_feat
         rec = self._to_record(fd)
         has_depth = rec.valid & (rec.depth > 0) & ~self._in_spawn_mask(rec)
-        pose = SE3(jnp.asarray(self.state.pose_R), jnp.asarray(self.state.pose_t))
-        pts_c = cam_ops.unproject(self.cfg.camera,
-                                  jnp.asarray(rec.uv[has_depth]),
-                                  jnp.asarray(rec.depth[has_depth]))
-        pts_w = np.asarray(se3.transform_points(pose.inverse(), pts_c))
+        pts_w = _np_unproject_world(self.cfg.camera, rec.uv[has_depth],
+                                    rec.depth[has_depth],
+                                    self.state.pose_R, self.state.pose_t)
         ids = self.map.add_points(pts_w, rec.desc[has_depth], first_kf=0,
                                   angles=rec.angle[has_depth])
         point_ids = np.full(rec.uv.shape[0], -1, np.int32)
@@ -586,12 +880,12 @@ class Tracker:
             sel = close
         point_ids = rec.point_ids.copy()
         if sel.any():
-            pose = SE3(jnp.asarray(self.state.pose_R),
-                       jnp.asarray(self.state.pose_t))
-            pts_c = cam_ops.unproject(self.cfg.camera,
-                                      jnp.asarray(rec.uv[sel]),
-                                      jnp.asarray(rec.depth[sel]))
-            pts_w = np.asarray(se3.transform_points(pose.inverse(), pts_c))
+            # Pure numpy: eager jnp here has data-dependent shapes, which
+            # forces a fresh XLA compile per keyframe (~0.5 s each through
+            # the remote-compile relay).
+            pts_w = _np_unproject_world(self.cfg.camera, rec.uv[sel],
+                                        rec.depth[sel],
+                                        self.state.pose_R, self.state.pose_t)
             ids = self.map.add_points(pts_w, rec.desc[sel],
                                       first_kf=self.map.n_kf,
                                       angles=rec.angle[sel])
