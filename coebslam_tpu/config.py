@@ -90,6 +90,10 @@ class OrbConfig:
     # Fixed per-frame keypoint capacity of the fixed-shape pipeline.  All
     # downstream arrays are padded to this; must be >= the adaptive-budget cap.
     max_keypoints: int = 2048
+    # FAST backend: None = auto (fused Pallas kernel on TPU, fused-jnp
+    # elsewhere); True/False forces.  The two paths are bit-identical
+    # (tests/test_features.py::test_fast_pallas_matches_jnp).
+    use_pallas_fast: Optional[bool] = None
 
     @property
     def scale_factors(self) -> Tuple[float, ...]:

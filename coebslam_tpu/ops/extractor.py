@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import OrbConfig, DynamicConfig
-from . import brief, fast, grid_select, patches, pyramid
+from . import brief, fast, fast_pallas, grid_select, patches, pyramid
 
 
 class Features(NamedTuple):
@@ -121,14 +121,27 @@ def extract(
                     jnp.float32(cfg.fast_threshold_min_masked),
                     jnp.float32(cfg.fast_threshold_min))
 
+    use_pallas = cfg.use_pallas_fast
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    # Forcing the Pallas path on a non-TPU backend runs the interpreter
+    # (slow; for tests only).
+    pallas_interpret = use_pallas and jax.default_backend() != "tpu"
+
     for lvl, lvl_img in enumerate(levels):
         h, w = lvl_img.shape
-        strength = fast.strength_map(lvl_img)
-        row = jnp.arange(h)[:, None]
-        col = jnp.arange(w)[None, :]
-        border = (row >= 3) & (row < h - 3) & (col >= 3) & (col < w - 3)
-        score = jnp.where(border & (strength > thr), strength, 0.0)
-        score = fast.nms_3x3(score)
+        if use_pallas:
+            # Fused single-pass kernel: circle diffs + arc reduction +
+            # border/threshold gate + 3x3 NMS, one HBM round-trip.
+            strength, score = fast_pallas.strength_and_score(
+                lvl_img, thr, interpret=pallas_interpret)
+        else:
+            strength = fast.strength_map(lvl_img)
+            row = jnp.arange(h)[:, None]
+            col = jnp.arange(w)[None, :]
+            border = (row >= 3) & (row < h - 3) & (col >= 3) & (col < w - 3)
+            score = jnp.where(border & (strength > thr), strength, 0.0)
+            score = fast.nms_3x3(score)
 
         # Edge margin (reference EDGE_THRESHOLD=19 border).
         m = cfg.edge_threshold

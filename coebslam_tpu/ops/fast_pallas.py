@@ -111,12 +111,14 @@ def _run(img, thr, *, interpret: bool = False):
         grid=(n_t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile + 2 * HALO, wp + 2 * HALO),
+            # Overlapping row bands: program i reads padded rows
+            # [i*tile, i*tile + tile + 2*HALO) — pl.Element lets the
+            # index_map return an elementwise start so consecutive bands
+            # share their HALO rows.
+            pl.BlockSpec((pl.Element(tile + 2 * HALO),
+                          pl.Element(wp + 2 * HALO)),
                          lambda i: (i * tile, 0),
-                         indexing_mode=pl.Blocked((tile, None)),
-                         memory_space=pltpu.VMEM)
-            if hasattr(pl, "Blocked") else
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile, wp), lambda i: (i, 0),
