@@ -73,6 +73,7 @@ def restore_tracker_pose(path: str, tracker) -> bool:
     tracker.state.pose_R = z["tk_pose_R"].copy()
     tracker.state.pose_t = z["tk_pose_t"].copy()
     tracker.state.budget = int(z["tk_budget"])
+    tracker._dev_state = None     # rebuild device state from restored pose
     return True
 
 

@@ -118,16 +118,49 @@ def fit_models(p1, p2, valid, key, n_hypotheses: int = 200,
 def triangulate_dlt(P1, P2, p1, p2):
     """Batched linear triangulation ([N, 2] normalized coords, [3, 4]
     projection matrices) -> [N, 3] (the reference's Triangulate,
-    Initializer.h:70)."""
+    Initializer.h:70).
+
+    Solved inhomogeneously (fix X4=1): A[:, :3] X = -A[:, 3] via 3x3 normal
+    equations with a closed-form adjugate inverse.  The reference's
+    homogeneous SVD nullspace differs only for points near infinity, which
+    every caller's depth/parallax gates reject anyway — and batched
+    `jnp.linalg.svd` on [N, 4, 4] lowers to sequential Jacobi sweeps on
+    TPU (~1 s per 20k matrices), while this is three fused VPU ops."""
     rows = jnp.stack([
         p1[:, 0, None] * P1[2] - P1[0],
         p1[:, 1, None] * P1[2] - P1[1],
         p2[:, 0, None] * P2[2] - P2[0],
         p2[:, 1, None] * P2[2] - P2[1],
     ], axis=1)                                       # [N, 4, 4]
-    _, _, vt = jnp.linalg.svd(rows)
-    X = vt[:, -1]
-    return X[:, :3] / jnp.where(jnp.abs(X[:, 3:]) < 1e-9, 1e-9, X[:, 3:])
+    A = rows[:, :, :3]                               # [N, 4, 3]
+    b = -rows[:, :, 3]                               # [N, 4]
+    AtA = jnp.einsum("nri,nrj->nij", A, A)           # [N, 3, 3]
+    Atb = jnp.einsum("nri,nr->ni", A, b)             # [N, 3]
+    # Tikhonov floor keeps degenerate (zero-parallax) rows finite; their
+    # solutions fail the callers' chi2/parallax gates.
+    AtA = AtA + 1e-9 * jnp.eye(3, dtype=AtA.dtype)
+    return jnp.einsum("nij,nj->ni", _inv3x3(AtA), Atb)
+
+
+def _inv3x3(H):
+    """Closed-form inverse of [..., 3, 3] matrices (adjugate/determinant)."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g, h, k = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A = e * k - f * h
+    B = c * h - b * k
+    C = b * f - c * e
+    D = f * g - d * k
+    E = a * k - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    Hc = b * g - a * h
+    K = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    rows = jnp.stack([jnp.stack([A, B, C], -1), jnp.stack([D, E, F], -1),
+                      jnp.stack([G, Hc, K], -1)], -2)
+    return rows * inv_det[..., None, None]
 
 
 def check_rt(R, t, p1, p2, valid, sigma: float = 1.0):

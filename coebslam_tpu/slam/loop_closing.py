@@ -238,6 +238,7 @@ class LoopCloser:
             X = jnp.asarray(m.pt_pos[pids])
             X_new = S_new.inverse().apply(T_k.apply(X))
             m.pt_pos[pids] = np.asarray(X_new)
+            m.mark_points_dirty(pids)
             m.bump()
 
         self.loop_edges.append((kf_id, cand))
@@ -331,6 +332,7 @@ class LoopCloser:
         Rn = new_R[owner]
         X_new = np.einsum("pji,pj->pi", Rn, Xc - new_t[owner])
         m.pt_pos[pids] = X_new
+        m.mark_points_dirty(pids)
         m.bump()
         for k in kfs:
             m.set_keyframe_pose(int(k), new_R[k], new_t[k])

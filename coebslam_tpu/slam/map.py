@@ -68,12 +68,30 @@ class MapArena:
         self.pt_obs_slot = np.full((P, MAX_OBS_PER_POINT), -1, np.int32)
         self.n_pt = 0
         self._free_pt: List[int] = []   # recycled point ids
+        # Fuse redirect (MapPoint::Replace keeps mpReplaced so stale frame
+        # references can follow the merge): replace_point(old, new) sets
+        # pt_redirect[old] = new.
+        self.pt_redirect = np.full(P, -1, np.int32)
         # Monotonic mutation counter: device-side mirrors (tracking keeps the
         # point arrays resident on the TPU) refresh when this changes.
         self.version = 0
+        # Dirty-row masks drained by slam.map_device.DeviceMap.sync —
+        # incremental device mirror updates instead of full re-uploads.
+        self._dirty_pt = np.zeros(P, bool)
+        self._dirty_kf = np.zeros(K, bool)
+        self._dirty_all = True
+        self._pose_version = 0
 
     def bump(self) -> None:
         self.version += 1
+
+    def mark_points_dirty(self, pids) -> None:
+        """External writers (BA writeback, loop correction) must call this
+        after mutating point rows directly."""
+        self._dirty_pt[np.asarray(pids, np.int64)] = True
+
+    def mark_poses_dirty(self) -> None:
+        self._pose_version += 1
 
     # ------------------------------------------------------------------ #
     # keyframes
@@ -102,6 +120,8 @@ class MapArena:
         self.kf_kp_valid[k] = kp_valid
         self.kf_valid[k] = True
         self.n_kf += 1
+        self._dirty_kf[k] = True
+        self._pose_version += 1
 
         pid = np.asarray(point_ids, np.int32).copy()
         pid[~np.asarray(kp_valid, bool)] = -1
@@ -158,6 +178,7 @@ class MapArena:
             self._remove_observation(int(obs[s]), k)
         self.kf_obs_pt[k] = -1
         self.kf_valid[k] = False
+        self._dirty_kf[k] = True
         self.covis[k, :] = 0
         self.covis[:, k] = 0
         children = np.nonzero(self.kf_parent[:self.n_kf] == k)[0]
@@ -194,6 +215,7 @@ class MapArena:
             self.pt_first_kf[sel] = first_kf
             self.pt_obs_kf[sel] = -1
             self.pt_obs_slot[sel] = -1
+            self.pt_redirect[sel] = -1    # recycled slot: clear stale merge
             if angles is not None:
                 self.pt_angle[sel] = np.atleast_1d(angles)[:k]
             if normals is not None:
@@ -201,6 +223,7 @@ class MapArena:
             if min_dists is not None:
                 self.pt_min_dist[sel] = np.atleast_1d(min_dists)[:k]
                 self.pt_max_dist[sel] = np.atleast_1d(max_dists)[:k]
+            self._dirty_pt[sel] = True
         self.bump()
         return ids
 
@@ -222,6 +245,21 @@ class MapArena:
     def point_observation_count(self, pids) -> np.ndarray:
         return (self.pt_obs_kf[pids] >= 0).sum(-1)
 
+    def resolve_ids(self, pids: np.ndarray) -> np.ndarray:
+        """Follow fuse redirects and drop dead ids: stale per-frame match
+        lists (pipelined tracking) stay usable across a fuse/cull boundary
+        (MapPoint::Replace semantics)."""
+        out = np.asarray(pids, np.int32).copy()
+        for _ in range(3):                    # bounded redirect chains
+            live = out >= 0
+            r = self.pt_redirect[np.clip(out, 0, None)]
+            follow = live & (r >= 0)
+            if not follow.any():
+                break
+            out[follow] = r[follow]
+        out[(out >= 0) & ~self.pt_valid[np.clip(out, 0, None)]] = -1
+        return out
+
     def remove_point(self, pid: int) -> None:
         """MapPoint::SetBadFlag — clear forward references from keyframes."""
         kfs = self.pt_obs_kf[pid]
@@ -233,6 +271,7 @@ class MapArena:
         self.pt_obs_slot[pid] = -1
         self.pt_valid[pid] = False
         self._free_pt.append(pid)
+        self._dirty_pt[pid] = True
         self.bump()
 
     def replace_point(self, old: int, new: int) -> None:
@@ -254,7 +293,9 @@ class MapArena:
         self.pt_obs_kf[old] = -1
         self.pt_obs_slot[old] = -1
         self.pt_valid[old] = False
+        self.pt_redirect[old] = new
         self._free_pt.append(old)
+        self._dirty_pt[old] = True
         self.bump()
 
     def update_point_stats(self, pids) -> None:
@@ -320,6 +361,7 @@ class MapArena:
         max_d = dist * (sf ** level)
         self.pt_max_dist[pids[has_obs]] = max_d[has_obs]
         self.pt_min_dist[pids[has_obs]] = (max_d / (sf ** (n_levels - 1)))[has_obs]
+        self._dirty_pt[pids] = True
         self.bump()
 
     # ------------------------------------------------------------------ #
@@ -344,6 +386,7 @@ class MapArena:
     def set_keyframe_pose(self, k: int, R, t) -> None:
         self.kf_R[k] = R
         self.kf_t[k] = t
+        self._pose_version += 1
 
     def valid_keyframes(self) -> np.ndarray:
         return np.nonzero(self.kf_valid[:self.n_kf])[0]

@@ -219,17 +219,9 @@ class System:
         the RGB-D tracking path applies unchanged."""
         assert self.cfg.sensor == "stereo", \
             "construct the System with cfg.sensor='stereo'"
-        from . import frame as frame_mod
         gl = self._to_gray(left)
         gr = self._to_gray(right)
-        if not hasattr(self, "_jit_stereo_frontend"):
-            cfg = self.cfg
-            self._jit_stereo_frontend = jax.jit(
-                lambda a, b, n: frame_mod.process_stereo(
-                    a, b, cfg.camera, cfg.orb, n_features=n))
-        fd = self._jit_stereo_frontend(gl, gr,
-                                       jnp.int32(self.tracker.state.budget))
-        state, n = self.tracker.process_frame_data(fd, stamp)
+        state, n = self.tracker.process_frame_stereo(gl, gr, stamp)
         self._prev_gray = gl
         self._frame_count += 1
         self._maybe_reset(state)
@@ -239,20 +231,25 @@ class System:
 
     def activate_localization_mode(self) -> None:
         """Stop mapping; track against the frozen map
-        (System::ActivateLocalizationMode, System.h:81)."""
+        (System::ActivateLocalizationMode, System.h:81).  Keyframe insertion
+        and point spawning are gated in the tracker itself, so the arena is
+        genuinely frozen (System.cc:184-216 semantics)."""
         self.localization_only = True
+        self.tracker.localization_only = True
 
     def deactivate_localization_mode(self) -> None:
         self.localization_only = False
+        self.tracker.localization_only = False
 
     def reset(self) -> None:
         """Full system reset (System::Reset -> Tracking::Reset,
         Tracking.cc:1582): clear the map and start re-initialization."""
+        self.tracker.flush()
         self.map = MapArena(self.cfg)
         self.tracker.map = self.map
         self.mapper.map = self.map
         self.tracker.state.__init__(budget=self.cfg.orb.n_features)
-        self.tracker.last_frame = None
+        self.tracker.reset_runtime()
         self.tracker.ref_kf = -1
         self._prev_gray = None
 
@@ -266,9 +263,22 @@ class System:
             # keep the trajectory log across the reset
             del self.tracker.trajectory[n_traj:]
 
+    def enable_realtime(self) -> None:
+        """Production mode: pipeline the tracker (frame i-1's host decisions
+        overlap frame i's device execution) and run the mapper's stage
+        machine asynchronously, polled once per frame — the TPU-native
+        equivalent of the reference's tracking/mapping thread split
+        (System.cc:100)."""
+        self.tracker.pipelined = True
+        self.mapper.async_mode = True
+        self.tracker.on_frame = self.mapper.poll
+        self.tracker.mapper_idle_fn = self.mapper.idle
+
     def shutdown(self) -> None:
-        """System::Shutdown — nothing to join (no threads); kept for API
-        parity."""
+        """System::Shutdown — drain in-flight frames and mapping stages
+        (the reference joins its threads here, System.cc:310)."""
+        self.tracker.flush()
+        self.mapper.flush()
 
     # ------------------------------------------------------------------ #
 
@@ -276,10 +286,10 @@ class System:
         return self.tracker.state.mode
 
     def get_tracked_map_points(self) -> np.ndarray:
-        lf = self.tracker.last_frame
-        if lf is None:
+        pids = self.tracker._last_pids
+        if pids is None:
             return np.zeros(0, np.int32)
-        return lf.point_ids[lf.point_ids >= 0]
+        return pids[pids >= 0]
 
     def save_trajectory_tum(self, path: str) -> None:
         """System::SaveTrajectoryTUM (System.cc:331-401)."""

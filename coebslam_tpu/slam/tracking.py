@@ -1,20 +1,25 @@
 """Tracking: the per-frame state machine + jitted device tracking steps.
 
 TPU-native re-design of `Tracking.cc` (SURVEY §2.1 Tracking row, call stack
-§3.1).  The lost/init/OK state machine and keyframe policy live on the host
-(SURVEY §7.3 hard part 4: control flow fights jit), but each state's body is
-a single fused device program:
+§3.1).  The rare-path control flow (init, lost/relocalization, keyframe
+creation) lives on the host (SURVEY §7.3 hard part 4), but the per-frame hot
+path is ONE device program that carries its own state across frames:
 
-  frontend  : extract + depth associate               (slam/frame.py)
-  track step: project -> MXU Hamming match -> robust pose GN
-              (replaces SearchByProjection + PoseOptimization)
+  DevTrackState (pose, velocity, last-frame match ids) lives on the TPU;
+  each `fused_step` consumes the previous state and emits the next, applying
+  the inlier/motion gates in-graph (a failed frame keeps the previous pose).
+  The host never has to read a frame's results before dispatching the next
+  one — `Tracker.pipelined = True` overlaps the host round trip of frame
+  i-1's decision scalars with frame i's device execution, hiding the
+  tunnel/PCIe latency entirely (the reference hides the same latency by
+  running mapping on a second thread, System.cc:100).
 
-The reference runs three separate searches (motion model vs last frame,
-BoW vs reference KF, projection vs local map).  Here both tracking stages
-are the same jitted function against different point sets and radii:
-stage 1 vs the last frame's map points with a wide window (TrackWithMotion
-Model, Tracking.cc:933), stage 2 vs the covisibility local map with a tight
-window (TrackLocalMap/SearchLocalPoints, Tracking.cc:996/1222).
+The reference runs three separate searches (motion model vs last frame, BoW
+vs reference KF, projection vs local map).  Here both tracking stages are
+the same jitted function against different point sets and radii: stage 1 vs
+the last frame's map points with a wide window (TrackWithMotionModel,
+Tracking.cc:933), stage 2 vs the covisibility local map with a tight window
+(TrackLocalMap/SearchLocalPoints, Tracking.cc:996/1222).
 
 The COEB adaptive feature budget (Tracking.cc:417-466) is a traced scalar:
 growing it masks in more extraction quota — no extractor rebuild, no
@@ -24,7 +29,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import NamedTuple, Optional
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -125,28 +130,89 @@ def track_step(frame: FrameData, pose_pred: SE3, pts_w, pt_signed_desc,
                            n_matches=res.valid.sum().astype(jnp.int32))
 
 
-class FusedOut(NamedTuple):
-    """Single-fetch bundle of everything the host needs from one frame.
+# --------------------------------------------------------------------- #
+# The fused per-frame device program with in-graph state transition.
+# --------------------------------------------------------------------- #
 
-    The per-frame pipeline (frontend + both tracking stages + retry + motion
-    gate + keyframe-policy statistics) runs as ONE device program: through a
-    remote-TPU relay every dispatch costs ~40 ms, so the naive
-    dispatch-per-stage layout (frontend, stage 1, wide retry, stage 2 x2,
-    plus stray jnp host math) pays ~10x the device compute in latency.
+
+class DevTrackState(NamedTuple):
+    """Device-resident tracking state chained across frames.
+
+    The host never needs to read this to dispatch the next frame — the
+    pose prediction, velocity update, and last-frame candidate set are all
+    computed in-graph (Tracking.cc:528's velocity model + the OK/LOST pose
+    freeze, expressed as selects).
     """
+    R: jnp.ndarray             # [3, 3] pose Tcw
+    t: jnp.ndarray             # [3]
+    vR: jnp.ndarray            # [3, 3] velocity (Tcur . Tlast^-1)
+    vt: jnp.ndarray            # [3]
+    has_vel: jnp.ndarray       # bool scalar
+    ok: jnp.ndarray            # bool scalar — last frame tracked
+    pids: jnp.ndarray          # [N] int32 global map-point id per kp (-1)
+
+
+class StepScalars(NamedTuple):
+    """Decision bundle fetched by the host.
+
+    Packed into TWO arrays on purpose: through the remote-TPU relay every
+    fetched leaf pays its own round trip, so a 13-leaf bundle costs ~13 RTTs;
+    one f32 vector + the pids array costs two.
+    """
+    vec: jnp.ndarray           # [22] f32 — see _VEC_* layout below
+    pids: jnp.ndarray          # [N] int32 matched point id per kp (-1 none)
+
+
+# Layout of StepScalars.vec (counts are exact in f32 below 2^24).
+_V_R = slice(0, 9)
+_V_T = slice(9, 12)
+_V_OK = 12
+_V_INL1 = 13
+_V_MATCH1 = 14
+_V_INL2A = 15
+_V_INL = 16
+_V_NFEAT = 17
+_V_DT = 18
+_V_ANG = 19
+_V_TRACKED_CLOSE = 20
+_V_UNTRACKED_CLOSE = 21
+
+
+class HostScalars(NamedTuple):
+    """Unpacked host-side view of StepScalars."""
+    R: np.ndarray
+    t: np.ndarray
+    ok: bool
+    n_inl1: int
+    n_match1: int
+    n_inl2a: int
+    n_inl: int
+    n_feat: int
+    dt: float
+    ang: float
+    tracked_close: int
+    untracked_close: int
+    pids: np.ndarray
+
+    @staticmethod
+    def unpack(vec: np.ndarray, pids: np.ndarray) -> "HostScalars":
+        v = np.asarray(vec, np.float32)
+        return HostScalars(
+            R=v[_V_R].reshape(3, 3), t=v[_V_T],
+            ok=bool(v[_V_OK] > 0.5),
+            n_inl1=int(v[_V_INL1]), n_match1=int(v[_V_MATCH1]),
+            n_inl2a=int(v[_V_INL2A]), n_inl=int(v[_V_INL]),
+            n_feat=int(v[_V_NFEAT]), dt=float(v[_V_DT]),
+            ang=float(v[_V_ANG]),
+            tracked_close=int(v[_V_TRACKED_CLOSE]),
+            untracked_close=int(v[_V_UNTRACKED_CLOSE]),
+            pids=np.asarray(pids, np.int32))
+
+
+class StepOut(NamedTuple):
+    state: DevTrackState
     fd: FrameData              # device-resident; fetched only on KF creation
-    pose_R: jnp.ndarray        # [3, 3] final pose
-    pose_t: jnp.ndarray        # [3]
-    point_idx: jnp.ndarray     # [N] final match into the stage-2 id set
-    n_inl1: jnp.ndarray        # stage-1 inliers (post retry)
-    n_match1: jnp.ndarray
-    n_inl2a: jnp.ndarray       # wide local-map pass inliers
-    n_inl: jnp.ndarray         # final inliers
-    n_feat: jnp.ndarray        # extracted keypoint count
-    dt: jnp.ndarray            # |translation| vs last pose (motion gate)
-    ang: jnp.ndarray           # rotation angle vs last pose
-    tracked_close: jnp.ndarray     # close-depth kps with a map point
-    untracked_close: jnp.ndarray   # close-depth kps without one
+    scalars: StepScalars
 
 
 def _select(pred, a, b):
@@ -154,38 +220,34 @@ def _select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def fused_frame_step(gray, depth_img, budget, R_pred, t_pred, R_last, t_last,
-                     s1_ids, s1_valid, s2_ids, s2_valid, arena,
-                     cfg: SystemConfig, dynamic_mask=None, area_mode=None,
-                     depth_scale: float = 1.0) -> FusedOut:
+def fused_step(fd: FrameData, state: DevTrackState, local_ids, local_valid,
+               arena, gate_scale, cfg: SystemConfig) -> StepOut:
     """The whole per-frame pipeline as one jittable program.
 
     Args:
-      gray: [H, W] any dtype (uint8 preferred — 4x cheaper host->device).
-      depth_img: [H, W] float32 metres or uint16 raw (scaled by depth_scale).
-      s1_ids/s1_valid: stage-1 candidate map-point ids (last frame's points,
-        TrackWithMotionModel semantics).
-      s2_ids/s2_valid: stage-2 candidates (covisibility local map,
-        TrackLocalMap semantics).
-      arena: tuple of device-resident point arrays (pos, signed_desc, valid,
-        angle, normal, min_dist, max_dist) — see Tracker._device_map.
+      fd: frame front-end output (RGB-D, stereo, or mono — built by the
+        caller so all three sensors share this tail).
+      state: previous frame's DevTrackState.
+      local_ids/local_valid: covisibility local-map candidate ids
+        (TrackLocalMap semantics; refreshed by the host on KF insertion).
+      arena: device-resident point arrays (map_device.DeviceMap.points).
+      gate_scale: traced float — motion-gate widening while LOST.
     """
     pos, sd, pv, pa, pn, pmin, pmax = arena
-    gray = gray.astype(jnp.float32)
-    depth_img = depth_img.astype(jnp.float32) * jnp.float32(depth_scale)
-    fd = frame_mod.process_rgbd(gray, depth_img, cfg.camera, cfg.orb,
-                                n_features=budget,
-                                dynamic_mask=dynamic_mask,
-                                area_mode=area_mode)
-    pose_pred = SE3(R_pred, t_pred)
-    pose_last = SE3(R_last, t_last)
+    t_cfg = cfg.tracking
+    pose_last = SE3(state.R, state.t)
+    pose_pred = _select(state.has_vel,
+                        SE3(state.vR, state.vt).compose(pose_last), pose_last)
 
     def run(pose, ids, idv, radius):
         return track_step(fd, pose, pos[ids], sd[ids], idv & pv[ids],
                           pa[ids], pn[ids], pmin[ids], pmax[ids],
                           jnp.float32(radius), cfg)
 
-    # Stage 1 + in-graph widened retry (Tracking.cc:956-966 semantics).
+    # Stage 1 vs the previous frame's matched points + in-graph widened
+    # retry (Tracking.cc:956-966 semantics).
+    s1_ids = jnp.clip(state.pids, 0)
+    s1_valid = state.pids >= 0
     res1 = run(pose_pred, s1_ids, s1_valid, cfg.matcher.radius_motion_model)
 
     def retry(_):
@@ -196,30 +258,54 @@ def fused_frame_step(gray, depth_img, budget, R_pred, t_pred, R_last, t_last,
     res1 = jax.lax.cond(res1.n_inliers < 30, retry, lambda _: res1, None)
 
     # Stage 2: wide pass absorbs stage-1 error, tight re-match refines.
-    res2a = run(res1.pose, s2_ids, s2_valid, 16.0)
-    ok2a = res2a.n_inliers >= cfg.tracking.min_inliers_track
+    res2a = run(res1.pose, local_ids, local_valid, 16.0)
+    ok2a = res2a.n_inliers >= t_cfg.min_inliers_track
     pose_mid = _select(ok2a, res2a.pose, res1.pose)
-    res2 = run(pose_mid, s2_ids, s2_valid, 6.0)
+    res2 = run(pose_mid, local_ids, local_valid, 6.0)
     final = _select(res2.n_inliers >= res2a.n_inliers, res2, res2a)
 
-    # Motion gate quantities (host compares against thresholds).
+    # In-graph gates: enough stage-1 and final inliers, and a plausible
+    # motion (the host's old LOST branch, Tracking.cc:264-575; gate_scale
+    # widens the allowance with the outage length so relocalization can
+    # re-attach after the camera moved on).
     d = final.pose.compose(pose_last.inverse())
     dt = jnp.linalg.norm(d.t)
     ang = jnp.arccos(jnp.clip((jnp.trace(d.R) - 1.0) / 2.0, -1.0, 1.0))
+    ok = ((res1.n_inliers >= t_cfg.min_inliers_track)
+          & (final.n_inliers >= t_cfg.min_inliers_track)
+          & (dt <= t_cfg.max_translation_per_frame * gate_scale)
+          & (ang <= t_cfg.max_rotation_per_frame * gate_scale))
+
+    new_pose = _select(ok, final.pose, pose_last)
+    # Velocity only valid when both this and the previous frame tracked
+    # (after an outage the quotient is not a per-frame velocity).
+    vel_ok = ok & state.ok
+    new_vR = jnp.where(vel_ok, d.R, jnp.eye(3, dtype=d.R.dtype))
+    new_vt = jnp.where(vel_ok, d.t, jnp.zeros_like(d.t))
+
+    pids_frame = jnp.where(final.point_idx >= 0,
+                           local_ids[jnp.clip(final.point_idx, 0)], -1)
+    pids_frame = jnp.where(ok, pids_frame, -1)
+    new_pids = jnp.where(ok, pids_frame, state.pids)
 
     # Keyframe-policy close-point statistics (NeedNewKeyFrame, RGB-D branch).
     close = fd.feats.valid & (fd.depth > 0) \
         & (fd.depth < cfg.camera.depth_threshold)
-    has_pt = final.point_idx >= 0
-    return FusedOut(
-        fd=fd, pose_R=final.pose.R, pose_t=final.pose.t,
-        point_idx=final.point_idx,
-        n_inl1=res1.n_inliers, n_match1=res1.n_matches,
-        n_inl2a=res2a.n_inliers, n_inl=final.n_inliers,
-        n_feat=fd.feats.valid.sum().astype(jnp.int32),
-        dt=dt, ang=ang,
-        tracked_close=(close & has_pt).sum().astype(jnp.int32),
-        untracked_close=(close & ~has_pt).sum().astype(jnp.int32))
+    has_pt = pids_frame >= 0
+    new_state = DevTrackState(R=new_pose.R, t=new_pose.t, vR=new_vR,
+                              vt=new_vt, has_vel=vel_ok, ok=ok,
+                              pids=new_pids)
+    f32 = jnp.float32
+    vec = jnp.concatenate([
+        new_pose.R.reshape(9), new_pose.t,
+        jnp.stack([ok.astype(f32),
+                   res1.n_inliers.astype(f32), res1.n_matches.astype(f32),
+                   res2a.n_inliers.astype(f32), final.n_inliers.astype(f32),
+                   fd.feats.valid.sum().astype(f32), dt, ang,
+                   (close & has_pt).sum().astype(f32),
+                   (close & ~has_pt).sum().astype(f32)])])
+    scalars = StepScalars(vec=vec, pids=pids_frame)
+    return StepOut(state=new_state, fd=fd, scalars=scalars)
 
 
 def _np_inv(R: np.ndarray, t: np.ndarray):
@@ -246,9 +332,6 @@ class TrackerState:
     mode: str = NOT_INITIALIZED
     pose_R: np.ndarray = field(default_factory=lambda: np.eye(3, dtype=np.float32))
     pose_t: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
-    vel_R: np.ndarray = field(default_factory=lambda: np.eye(3, dtype=np.float32))
-    vel_t: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
-    has_velocity: bool = False
     last_kf: int = -1
     frames_since_kf: int = 0
     frame_idx: int = 0
@@ -272,19 +355,48 @@ class FrameRecord(NamedTuple):
     point_ids: np.ndarray      # map point id per slot (-1 none)
 
 
+@dataclass
+class _FrameCtx:
+    """One in-flight frame: device handles + host metadata.
+
+    ``corr_R/corr_t`` accumulate world-side pose corrections (BA refinements
+    applied between this frame's dispatch and its finalize) so the fetched
+    pose can be re-based: pose' = pose ∘ corr."""
+    out: StepOut
+    stamp: float
+    local_ids: np.ndarray      # host copy of the local-map candidate ids
+    spawn_mask: Optional[np.ndarray]
+    corr_R: Optional[np.ndarray] = None
+    corr_t: Optional[np.ndarray] = None
+
+    def apply_correction(self, dR: np.ndarray, dt: np.ndarray) -> None:
+        if self.corr_R is None:
+            self.corr_R, self.corr_t = dR.copy(), dt.copy()
+        else:
+            self.corr_R, self.corr_t = _np_compose(self.corr_R, self.corr_t,
+                                                   dR, dt)
+
+
 class Tracker:
-    """Host orchestration for RGB-D tracking (System + Tracking facade of the
-    MVP slice; local mapping / loop closing attach on top)."""
+    """Host orchestration for tracking (System + Tracking facade; local
+    mapping / loop closing attach on top).
+
+    Set ``pipelined = True`` to overlap the host decision tail of frame i-1
+    with frame i's device execution (production/bench mode); the default
+    finalizes each frame synchronously (deterministic for tests).
+    """
 
     def __init__(self, cfg: SystemConfig, map_arena: Optional[MapArena] = None):
         self.cfg = cfg
         self.map = map_arena if map_arena is not None else MapArena(cfg)
         self.state = TrackerState(budget=cfg.orb.n_features)
-        self.last_frame: Optional[FrameRecord] = None
         self.trajectory = []        # list of (stamp, R_cw, t_cw)
         self.ref_kf: int = -1
         self.on_keyframe = None     # callback(kf_id) — local mapping hook
+        self.on_frame = None        # callback() each frame — mapper poll hook
+        self.mapper_idle_fn = None  # callback() -> bool — mapper idleness
         self.reloc_fn = None        # callback(fd) -> RelocResult (BoW rel.)
+        self.pipelined = False
         # Monocular initialization state (Tracking::MonocularInitialization).
         self._mono_ref: Optional[FrameData] = None
         self._mono_ref_stamp: float = 0.0
@@ -308,30 +420,82 @@ class Tracker:
                 *_cast(g, d), cfg.camera, cfg.orb, n_features=n,
                 dynamic_mask=m, area_mode=a))
 
-        def fused(g, d, n, Rp, tp, Rl, tl, s1i, s1v, s2i, s2v, arena):
+        def step_rgbd(g, d, n, st, lids, lval, arena, gate):
             g, d = _cast(g, d)
-            return fused_frame_step(g, d, n, Rp, tp, Rl, tl, s1i, s1v,
-                                    s2i, s2v, arena, cfg)
+            fd = frame_mod.process_rgbd(g, d, cfg.camera, cfg.orb,
+                                        n_features=n)
+            return fused_step(fd, st, lids, lval, arena, gate, cfg)
 
-        def fused_masked(g, d, n, Rp, tp, Rl, tl, s1i, s1v, s2i, s2v,
-                         arena, m, a):
+        def step_rgbd_masked(g, d, n, st, lids, lval, arena, gate, m, a):
             g, d = _cast(g, d)
-            return fused_frame_step(g, d, n, Rp, tp, Rl, tl, s1i, s1v,
-                                    s2i, s2v, arena, cfg,
-                                    dynamic_mask=m, area_mode=a)
+            fd = frame_mod.process_rgbd(g, d, cfg.camera, cfg.orb,
+                                        n_features=n, dynamic_mask=m,
+                                        area_mode=a)
+            return fused_step(fd, st, lids, lval, arena, gate, cfg)
 
-        self._jit_fused = jax.jit(fused)
-        self._jit_fused_masked = jax.jit(fused_masked)
-        # The map's point arrays live device-resident (uploaded only when
-        # arena.version changes); per-call traffic is just the candidate id
-        # list — gathering happens on-device.  Through the remote-TPU relay
-        # this is the difference between ~10 MB and ~20 KB per frame.
+        def step_stereo(gl, gr, n, st, lids, lval, arena, gate):
+            fd = frame_mod.process_stereo(gl.astype(jnp.float32),
+                                          gr.astype(jnp.float32),
+                                          cfg.camera, cfg.orb, n_features=n)
+            return fused_step(fd, st, lids, lval, arena, gate, cfg)
+
+        self._jit_step = jax.jit(step_rgbd)
+        self._jit_step_masked = jax.jit(step_rgbd_masked)
+        self._jit_step_stereo = jax.jit(step_stereo)
+        # The map's point arrays live device-resident with incremental row
+        # sync (map_device.py); per-call traffic is the candidate id list
+        # plus changed rows only.
         self._jit_track = jax.jit(
             lambda fd, pp, pos, sd, pv, pa, pn, pmin, pmax, ids, idv, r:
             track_step(fd, pp, pos[ids], sd[ids], idv & pv[ids], pa[ids],
                        pn[ids], pmin[ids], pmax[ids], r, cfg))
-        self._dev_version = -1
-        self._dev_map = None
+
+        self._dev_state: Optional[DevTrackState] = None
+        self._local_np = np.full(LOCAL_MAP_CAP, -1, np.int32)
+        self._local_dev = None
+        self._local_version = (-1, -1)     # (ref_kf, map.version)
+        self._pending: List[_FrameCtx] = []
+        self._last_ctx: Optional[_FrameCtx] = None
+        self._last_frame: Optional[FrameRecord] = None
+        self._last_pids: Optional[np.ndarray] = None
+        # Localization-only mode (System::ActivateLocalizationMode,
+        # System.cc:184-216): no keyframe insertion, no point spawning —
+        # pure VO against the frozen map.
+        self.localization_only = False
+
+    def reset_runtime(self) -> None:
+        """Drop all in-flight device state (system reset / map swap)."""
+        self._pending.clear()
+        self._last_ctx = None
+        self._last_frame = None
+        self._last_pids = None
+        self._dev_state = None
+        self._local_dev = None
+        self._local_version = (-1, -1)
+        self._mono_ref = None
+
+    # ------------------------------------------------------------------ #
+    # last_frame compatibility: a lazily-materialized FrameRecord.
+    # ------------------------------------------------------------------ #
+
+    @property
+    def last_frame(self) -> Optional[FrameRecord]:
+        if self._last_frame is None and self._last_ctx is not None:
+            rec = self._fetched_record(jax.device_get(self._last_ctx.out.fd))
+            pids = self._last_pids if self._last_pids is not None \
+                else rec.point_ids
+            self._last_frame = rec._replace(point_ids=pids)
+        return self._last_frame
+
+    @last_frame.setter
+    def last_frame(self, rec: Optional[FrameRecord]) -> None:
+        self._last_frame = rec
+        if rec is not None:
+            self._last_pids = np.asarray(rec.point_ids, np.int32)
+            self._dev_state = None      # reseed device state from host
+        else:
+            self._last_pids = None
+            self._dev_state = None
 
     # ------------------------------------------------------------------ #
 
@@ -340,22 +504,27 @@ class Tracker:
                       spawn_mask=None):
         """Track one frame.  Returns (state_str, n_inliers).
 
-        ``depth``: [H, W] metres for RGB-D; pass None for monocular (the
-        front-end then produces depthless observations and map points come
-        from two-view initialization + triangulation).
+        ``depth``: [H, W] metres (or raw uint16, scaled in-graph) for RGB-D;
+        pass None for monocular.
         ``spawn_mask``: optional [H, W] bool — regions where map points must
-        not be CREATED (keypoints there may still match existing points)."""
-        self._spawn_mask = None if spawn_mask is None else np.asarray(spawn_mask)
-        if depth is None:
-            depth = np.zeros(np.asarray(gray).shape, np.float32)
+        not be CREATED (keypoints there may still match existing points).
+
+        In pipelined mode the returned tuple describes frame i-1 (the
+        newest finalized frame); call ``flush()`` after the last frame.
+        """
+        spawn = None if spawn_mask is None else np.asarray(spawn_mask)
         budget = jnp.int32(self.state.budget)
 
         if self.state.mode == NOT_INITIALIZED:
+            self.flush()
+            dep = depth if depth is not None \
+                else np.zeros(np.asarray(gray).shape, np.float32)
             if dynamic_mask is not None:
                 fd: FrameData = self._jit_frontend_masked(
-                    gray, depth, budget, dynamic_mask, jnp.bool_(area_mode))
+                    gray, dep, budget, dynamic_mask, jnp.bool_(area_mode))
             else:
-                fd = self._jit_frontend(gray, depth, budget)
+                fd = self._jit_frontend(gray, dep, budget)
+            self._spawn_mask = spawn
             if self.cfg.sensor == "monocular":
                 n = self._initialize_monocular(fd, stamp)
             else:
@@ -363,159 +532,281 @@ class Tracker:
             self._record_pose(stamp)
             return self.state.mode, n
 
-        out = self._dispatch_fused(gray, depth, budget, dynamic_mask,
-                                   area_mode)
-        n_inliers = self._track_fused(out, stamp)
-        self._apply_adaptive_budget(n_inliers)
-        self._record_pose(stamp)
-        self.state.frame_idx += 1
-        return self.state.mode, n_inliers
+        ctx = self._dispatch(gray, depth, budget, stamp, spawn,
+                             dynamic_mask, area_mode)
+        return self._advance(ctx)
 
-    def _dispatch_fused(self, gray, depth, budget, dynamic_mask, area_mode
-                        ) -> FusedOut:
-        """One device dispatch for the whole frame; no host jnp math."""
-        st = self.state
-        if st.has_velocity:
-            Rp, tp = _np_compose(st.vel_R, st.vel_t, st.pose_R, st.pose_t)
-        else:
-            Rp, tp = st.pose_R, st.pose_t
-        lp = self.last_frame.point_ids
-        s1 = self._pad_ids(lp[lp >= 0], lp.shape[0])
-        local_kfs = self._local_keyframes()
-        local_ids = self.map.local_map_points(local_kfs, LOCAL_MAP_CAP)
-        self._last_local_ids = local_ids
+    def process_frame_stereo(self, gray_left, gray_right, stamp: float):
+        """Stereo entry: same fused tail as RGB-D (restores the stereo path
+        the fork disabled, SURVEY §2.5; Frame.cc:92-95)."""
+        budget = jnp.int32(self.state.budget)
+        if self.state.mode == NOT_INITIALIZED:
+            self.flush()
+            fd = jax.jit(lambda a, b, n: frame_mod.process_stereo(
+                a.astype(jnp.float32), b.astype(jnp.float32),
+                self.cfg.camera, self.cfg.orb, n_features=n))(
+                    gray_left, gray_right, budget)
+            self._spawn_mask = None
+            n = self._initialize(fd, stamp)
+            self._record_pose(stamp)
+            return self.state.mode, n
+
+        self._ensure_state()
+        lids, lval = self._refresh_local_map()
         arena = self._device_map()
-        args = (gray, depth, budget,
-                jnp.asarray(Rp), jnp.asarray(tp),
-                jnp.asarray(st.pose_R), jnp.asarray(st.pose_t),
-                jnp.asarray(np.clip(s1, 0, None).astype(np.int32)),
-                jnp.asarray(s1 >= 0),
-                jnp.asarray(np.clip(local_ids, 0, None).astype(np.int32)),
-                jnp.asarray(local_ids >= 0), arena)
+        gate = self._gate_scale()
+        out = self._jit_step_stereo(gray_left, gray_right, budget,
+                                    self._dev_state, lids, lval, arena, gate)
+        ctx = self._post_dispatch(out, stamp, None)
+        return self._advance(ctx)
+
+    # ------------------------------------------------------------------ #
+
+    def _gate_scale(self):
+        s = 1.0 + (self.state.n_lost_frames if self.state.mode == LOST else 0)
+        return jnp.float32(s)
+
+    def _dispatch(self, gray, depth, budget, stamp, spawn_mask,
+                  dynamic_mask, area_mode) -> _FrameCtx:
+        self._ensure_state()
+        lids, lval = self._refresh_local_map()
+        arena = self._device_map()
+        gate = self._gate_scale()
+        dep = depth if depth is not None \
+            else np.zeros(np.asarray(gray).shape, np.float32)
         if dynamic_mask is not None:
-            return self._jit_fused_masked(*args, jnp.asarray(dynamic_mask),
-                                          jnp.bool_(area_mode))
-        return self._jit_fused(*args)
+            out = self._jit_step_masked(gray, dep, budget, self._dev_state,
+                                        lids, lval, arena, gate,
+                                        jnp.asarray(dynamic_mask),
+                                        jnp.bool_(area_mode))
+        else:
+            out = self._jit_step(gray, dep, budget, self._dev_state,
+                                 lids, lval, arena, gate)
+        return self._post_dispatch(out, stamp, spawn_mask)
 
-    def _track_fused(self, out: FusedOut, stamp: float) -> int:
-        """Host tail of the fused step: one bundled fetch, numpy decisions."""
-        cfg = self.cfg
+    def _post_dispatch(self, out: StepOut, stamp, spawn_mask) -> _FrameCtx:
+        self._dev_state = out.state
+        # Start moving the decision scalars to the host while the device
+        # (or the next frame) runs.
+        for leaf in jax.tree.leaves(out.scalars):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:      # older jax Array types
+                break
+        return _FrameCtx(out=out, stamp=stamp, local_ids=self._local_np,
+                         spawn_mask=spawn_mask)
+
+    def _advance(self, ctx: _FrameCtx):
+        """Finalize either this frame (sync) or the previous one (pipelined)."""
+        if not self.pipelined:
+            res = self._finalize(ctx)
+            if self.on_frame:
+                self.on_frame()
+            return res
+        self._pending.append(ctx)
+        res = (self.state.mode, -1)
+        if len(self._pending) > 1:
+            res = self._finalize(self._pending.pop(0))
+        if self.on_frame:
+            self.on_frame()
+        return res
+
+    def flush(self):
+        """Finalize all in-flight frames (pipelined mode)."""
+        res = None
+        while self._pending:
+            res = self._finalize(self._pending.pop(0))
+        return res
+
+    # ------------------------------------------------------------------ #
+
+    def _ensure_state(self) -> None:
+        """(Re)build the device state from host values (after init, reset,
+        recovery, or checkpoint restore)."""
+        if self._dev_state is not None:
+            return
         st = self.state
-        local_ids = self._last_local_ids
-        fetched: FusedOut = jax.device_get(out)
-        relocalized = False
+        N = self.cfg.orb.max_keypoints
+        pids = self._last_pids if self._last_pids is not None \
+            else np.full(N, -1, np.int32)
+        self._dev_state = DevTrackState(
+            R=jnp.asarray(st.pose_R), t=jnp.asarray(st.pose_t),
+            vR=jnp.eye(3, dtype=jnp.float32), vt=jnp.zeros(3, jnp.float32),
+            has_vel=jnp.bool_(False), ok=jnp.bool_(st.mode == OK),
+            pids=jnp.asarray(pids[:N]))
 
-        if int(fetched.n_inl1) < cfg.tracking.min_inliers_track:
-            # Rare recovery path (reloc / wide reference search) — allowed to
-            # pay extra dispatches.  Uses the device-resident fd from `out`.
-            vals = self._recover(out, fetched, local_ids)
-            if vals is None:
+    def apply_world_correction(self, dR: np.ndarray, dt: np.ndarray) -> None:
+        """Right-compose a world-side pose correction (asynchronous BA /
+        loop closure moved the map) into the live tracking state.  The
+        velocity Tcur∘Tlast^-1 is invariant under right-composition, so it
+        is kept."""
+        st = self.state
+        st.pose_R, st.pose_t = _np_compose(st.pose_R, st.pose_t, dR, dt)
+        if self._dev_state is not None:
+            cur_R = np.asarray(self._dev_state.R)
+            cur_t = np.asarray(self._dev_state.t)
+            cR, ct = _np_compose(cur_R, cur_t, dR, dt)
+            self._dev_state = self._dev_state._replace(
+                R=jnp.asarray(cR), t=jnp.asarray(ct))
+        for ctx in self._pending:
+            ctx.apply_correction(dR, dt)
+
+    def _set_state_pose(self, R, t, ok: bool = True, pids=None) -> None:
+        """Overwrite the device state's pose (KF-BA adoption / recovery)."""
+        st = self._dev_state
+        kw = dict(R=jnp.asarray(R, jnp.float32).reshape(3, 3),
+                  t=jnp.asarray(t, jnp.float32).reshape(3),
+                  vR=jnp.eye(3, dtype=jnp.float32),
+                  vt=jnp.zeros(3, jnp.float32),
+                  has_vel=jnp.bool_(False), ok=jnp.bool_(ok))
+        if pids is not None:
+            kw["pids"] = jnp.asarray(pids, jnp.int32)
+        self._dev_state = st._replace(**kw)
+
+    def _refresh_local_map(self):
+        """Covisibility local map, recomputed only when the reference KF or
+        the arena changed (it is invariant between keyframes)."""
+        key = (self.ref_kf, self.map.version)
+        if self._local_dev is None or self._local_version != key:
+            local_kfs = self._local_keyframes()
+            ids = self.map.local_map_points(local_kfs, LOCAL_MAP_CAP)
+            self._local_np = ids
+            self._local_dev = (
+                jnp.asarray(np.clip(ids, 0, None).astype(np.int32)),
+                jnp.asarray(ids >= 0))
+            self._local_version = key
+        return self._local_dev
+
+    # ------------------------------------------------------------------ #
+
+    def _finalize(self, ctx: _FrameCtx) -> tuple:
+        """Host decision tail for one frame: LOST handling, bookkeeping,
+        keyframe policy.  Reads only the small scalar bundle unless the
+        frame becomes a keyframe or needs recovery."""
+        st = self.state
+        cfg = self.cfg
+        raw = jax.device_get(ctx.out.scalars)
+        sc = HostScalars.unpack(raw.vec, raw.pids)
+        if ctx.corr_R is not None:
+            # Re-base onto corrections applied while this frame was in
+            # flight (pipelined mode; see _FrameCtx).
+            Rn, tn = _np_compose(sc.R, sc.t, ctx.corr_R, ctx.corr_t)
+            sc = sc._replace(R=Rn.astype(np.float32),
+                             t=tn.astype(np.float32))
+        self._last_ctx = ctx
+        self._last_frame = None         # lazy refetch if someone asks
+        n_inliers = sc.n_inl
+        ok = sc.ok
+        self.debug_info = {
+            "s1_inl": sc.n_inl1, "s1_match": sc.n_match1,
+            "s2a_inl": sc.n_inl2a, "s2_inl": sc.n_inl,
+            "n_local": int((ctx.local_ids >= 0).sum()),
+        }
+        self.debug_motion = (sc.dt, sc.ang)
+
+        if not ok:
+            recovered = self._recover(ctx)
+            if recovered is None:
                 st.mode = LOST
                 st.n_lost_frames += 1
                 st.consec_ok = 0
-                st.has_velocity = False
-                return 0
-            pose_R, pose_t, point_idx, n_inliers, relocalized = vals
-            d_R, d_t = _np_compose(pose_R, pose_t,
-                                   *_np_inv(st.pose_R, st.pose_t))
-            dt = float(np.linalg.norm(d_t))
-            ang = float(np.arccos(np.clip((np.trace(d_R) - 1) / 2, -1, 1)))
-        else:
-            pose_R, pose_t = fetched.pose_R, fetched.pose_t
-            point_idx = fetched.point_idx
-            n_inliers = int(fetched.n_inl)
-            dt, ang = float(fetched.dt), float(fetched.ang)
-            self.debug_info = {
-                "s1_inl": int(fetched.n_inl1),
-                "s1_match": int(fetched.n_match1),
-                "s2a_inl": int(fetched.n_inl2a), "s2_inl": int(fetched.n_inl),
-                "n_local": int((local_ids >= 0).sum()),
-            }
+                self._record_pose(ctx.stamp)
+                self._bump_frame(0)
+                return LOST, 0
+            sc, n_inliers = recovered
 
-        # Motion sanity gate (relocalization is an absolute fix — exempt).
-        self.debug_motion = (dt, ang)
-        t = cfg.tracking
-        scale = 1.0 + (st.n_lost_frames if st.mode == LOST else 0)
-        if not relocalized and (dt > t.max_translation_per_frame * scale
-                                or ang > t.max_rotation_per_frame * scale):
-            st.mode = LOST
-            st.n_lost_frames += 1
-            st.consec_ok = 0
-            st.has_velocity = False
-            return 0
-
-        if n_inliers < cfg.tracking.min_inliers_track:
-            st.mode = LOST
-            st.n_lost_frames += 1
-            st.consec_ok = 0
-            st.has_velocity = False
-            return n_inliers
-
-        was_ok = st.mode == OK
         st.mode = OK
         st.consec_ok += 1
-        pose_R = np.asarray(pose_R, np.float32)
-        pose_t = np.asarray(pose_t, np.float32)
-        if was_ok:
-            st.vel_R, st.vel_t = _np_compose(pose_R, pose_t,
-                                             *_np_inv(st.pose_R, st.pose_t))
-            st.has_velocity = True
-        else:
-            st.has_velocity = False
-        st.pose_R, st.pose_t = pose_R, pose_t
+        st.n_lost_frames = 0
+        st.pose_R = np.asarray(sc.R, np.float32).reshape(3, 3)
+        st.pose_t = np.asarray(sc.t, np.float32).reshape(3)
 
-        # Found/visible bookkeeping for culling.
-        matched = np.asarray(point_idx)
-        sel = matched >= 0
-        pids = local_ids[matched[sel]]
-        self.map.pt_found[pids[pids >= 0]] += 1
-        self.map.pt_visible[local_ids[local_ids >= 0]] += 1
-
-        rec = self._fetched_record(fetched.fd)
-        point_ids = np.full(rec.uv.shape[0], -1, np.int32)
-        point_ids[sel] = local_ids[matched[sel]]
-        rec = rec._replace(point_ids=point_ids)
-        self.last_frame = rec
+        # Found/visible bookkeeping for culling.  The match list may be one
+        # mapping-stage stale (pipelined mode) — follow fuse redirects and
+        # drop culled points before using it.
+        pids = self.map.resolve_ids(sc.pids)
+        sc = sc._replace(pids=pids)
+        self._last_pids = pids
+        matched = pids[pids >= 0]
+        self.map.pt_found[matched] += 1
+        lids = ctx.local_ids
+        self.map.pt_visible[lids[lids >= 0]] += 1
 
         st.frames_since_kf += 1
         st.peak_inliers_since_kf = max(st.peak_inliers_since_kf, n_inliers)
-        if self._need_keyframe(rec, n_inliers):
-            self._create_keyframe(rec, stamp)
+        if not self.localization_only and self._need_keyframe(
+                sc.tracked_close, sc.untracked_close, n_inliers):
+            rec = self._fetched_record(jax.device_get(ctx.out.fd))
+            rec = rec._replace(point_ids=pids)
+            self._spawn_mask = ctx.spawn_mask
+            self._create_keyframe(rec, ctx.stamp)
             st.peak_inliers_since_kf = n_inliers
-        return n_inliers
+        self._record_pose(ctx.stamp)
+        self._bump_frame(n_inliers)
+        return OK, n_inliers
 
-    def _recover(self, out: FusedOut, fetched: FusedOut, local_ids):
-        """Stage-1 failure: BoW relocalization, else wide search against the
-        reference KF (Tracking.cc:1417 / 823), then local-map re-tracking."""
+    def _bump_frame(self, n_inliers: int) -> None:
+        self._apply_adaptive_budget(n_inliers)
+        self.state.frame_idx += 1
+
+    def _recover(self, ctx: _FrameCtx):
+        """In-graph gates failed: BoW relocalization, else wide search
+        against the reference KF (Tracking.cc:1417 / 823), then local-map
+        re-tracking.  Runs against the newest frame's device-resident fd;
+        repairs the device state on success."""
         cfg = self.cfg
+        # In pipelined mode later frames are already in flight from the
+        # frozen pose; recover on the NEWEST frame and drop the rest (they
+        # were dispatched before the failure was visible — the reference
+        # similarly skips frames while relocalization runs).
+        while self._pending:
+            newer = self._pending.pop(0)
+            self._record_pose(ctx.stamp)
+            ctx = newer
+        fd = ctx.out.fd
         pose_cand = None
         relocalized = False
         if self.reloc_fn is not None:
-            rr = self.reloc_fn(out.fd)
+            rr = self.reloc_fn(fd)
             if rr.ok:
                 pose_cand = SE3(jnp.asarray(rr.R), jnp.asarray(rr.t))
                 relocalized = True
-        if pose_cand is None:
+        if pose_cand is None and self.ref_kf >= 0:
             ref_ids = self.map.kf_obs_pt[self.ref_kf]
             ref_ids = self._pad_ids(ref_ids[ref_ids >= 0],
-                                    self.last_frame.point_ids.shape[0])
+                                    self.cfg.orb.max_keypoints)
             pose_last = SE3(jnp.asarray(self.state.pose_R),
                             jnp.asarray(self.state.pose_t))
-            res = self._run_track(out.fd, pose_last, ref_ids, 50.0)
+            res = self._run_track(fd, pose_last, ref_ids, 50.0)
             if int(res.n_inliers) < cfg.tracking.min_inliers_track:
                 return None
             pose_cand = res.pose
-        res2a = self._run_track(out.fd, pose_cand, local_ids, 16.0)
+        if pose_cand is None:
+            return None
+        local_ids = ctx.local_ids
+        res2a = self._run_track(fd, pose_cand, local_ids, 16.0)
         pose = res2a.pose if int(res2a.n_inliers) \
             >= cfg.tracking.min_inliers_track else pose_cand
-        res2 = self._run_track(out.fd, pose, local_ids, 6.0)
+        res2 = self._run_track(fd, pose, local_ids, 6.0)
         if int(res2.n_inliers) < int(res2a.n_inliers):
             res2 = res2a
-        if int(res2.n_inliers) < cfg.tracking.min_inliers_track \
-                and not relocalized:
+        n = int(res2.n_inliers)
+        if n < cfg.tracking.min_inliers_track and not relocalized:
             return None
-        return (np.asarray(res2.pose.R), np.asarray(res2.pose.t),
-                np.asarray(res2.point_idx), int(res2.n_inliers), relocalized)
+        # Repair the device state so the next dispatch predicts from the
+        # recovered pose and candidate set.
+        idx = np.asarray(res2.point_idx)
+        pids = np.where(idx >= 0, local_ids[np.clip(idx, 0, None)], -1)
+        pids = pids.astype(np.int32)
+        R = np.asarray(res2.pose.R)
+        t = np.asarray(res2.pose.t)
+        self._set_state_pose(R, t, ok=True, pids=pids)
+        sc = HostScalars(
+            R=R, t=t, ok=True, n_inl1=n, n_match1=n,
+            n_inl2a=int(res2a.n_inliers), n_inl=n, n_feat=0,
+            dt=0.0, ang=0.0, tracked_close=0, untracked_close=0, pids=pids)
+        self._last_ctx = ctx
+        return sc, n
 
     def _fetched_record(self, fd_np) -> FrameRecord:
         """FrameRecord from an already-fetched (numpy) FrameData."""
@@ -547,28 +838,16 @@ class Tracker:
             self.state.pose_R, self.state.pose_t, stamp, rec.uv, rec.level,
             rec.angle, rec.desc, rec.depth, rec.ur, rec.valid, point_ids)
         self.map.update_point_stats(ids[ids >= 0])
-        self.last_frame = rec._replace(point_ids=point_ids)
+        self._last_frame = rec._replace(point_ids=point_ids)
+        self._last_pids = point_ids
         self.ref_kf = kf
         self.state.last_kf = kf
         self.state.frames_since_kf = 0
         self.state.mode = OK
+        self._dev_state = None
         if self.on_keyframe:
             self.on_keyframe(kf)
         return n_feat
-
-    def process_frame_data(self, fd: FrameData, stamp: float):
-        """Track a pre-built FrameData (used by the stereo front-end, whose
-        frame constructor differs but whose tracking path is identical)."""
-        self._spawn_mask = None
-        if self.state.mode == NOT_INITIALIZED:
-            n = self._initialize(fd, stamp)
-            self._record_pose(stamp)
-            return self.state.mode, n
-        n_inliers = self._track(fd, stamp)
-        self._apply_adaptive_budget(n_inliers)
-        self._record_pose(stamp)
-        self.state.frame_idx += 1
-        return self.state.mode, n_inliers
 
     # ------------------------------------------------------------------ #
 
@@ -647,12 +926,14 @@ class Tracker:
         self.map.update_point_stats(ids[ids >= 0])
 
         self.state.pose_R, self.state.pose_t = R2, t2.astype(np.float32)
-        self.last_frame = cur_rec._replace(point_ids=pids2)
+        self._last_frame = cur_rec._replace(point_ids=pids2)
+        self._last_pids = pids2
         self.ref_kf = kf2
         self.state.last_kf = kf2
         self.state.frames_since_kf = 0
         self.state.mode = OK
         self._mono_ref = None
+        self._dev_state = None
         if self.on_keyframe:
             self.on_keyframe(kf1)
             self.on_keyframe(kf2)
@@ -660,156 +941,12 @@ class Tracker:
             self.state.pose_t = self.map.kf_t[kf2].copy()
         return int(res.valid.sum())
 
-    def _track(self, fd: FrameData, stamp: float) -> int:
-        cfg = self.cfg
-        st = self.state
-        pose_last = SE3(jnp.asarray(st.pose_R), jnp.asarray(st.pose_t))
-        if st.has_velocity:
-            vel = SE3(jnp.asarray(st.vel_R), jnp.asarray(st.vel_t))
-            pose_pred = vel.compose(pose_last)
-        else:
-            pose_pred = pose_last
-
-        # ---- stage 1: vs last frame's map points (TrackWithMotionModel) ----
-        lp = self.last_frame.point_ids
-        stage1_ids = self._pad_ids(lp[lp >= 0], lp.shape[0])
-        res1 = self._run_track(fd, pose_pred, stage1_ids,
-                               cfg.matcher.radius_motion_model)
-        if int(res1.n_inliers) < 30:
-            # Widened retry from the unextrapolated pose — the reference's
-            # 2x-window retry when the motion model finds <20 matches
-            # (Tracking.cc:956-966).
-            wide = self._run_track(fd, pose_last, stage1_ids,
-                                   2.0 * cfg.matcher.radius_motion_model)
-            if int(wide.n_inliers) > int(res1.n_inliers):
-                res1 = wide
-        pose = res1.pose
-        relocalized = False
-        if int(res1.n_inliers) < cfg.tracking.min_inliers_track:
-            # Relocalization (Tracking.cc:1417): BoW retrieval + alignment
-            # RANSAC when the database is wired; otherwise a wide projection
-            # search against the reference keyframe.
-            if self.reloc_fn is not None:
-                rr = self.reloc_fn(fd)
-                if rr.ok:
-                    pose = SE3(jnp.asarray(rr.R), jnp.asarray(rr.t))
-                    relocalized = True
-            if not relocalized:
-                ref_ids = self.map.kf_obs_pt[self.ref_kf]
-                ref_ids = self._pad_ids(ref_ids[ref_ids >= 0], lp.shape[0])
-                res1 = self._run_track(fd, pose_last, ref_ids, 50.0)
-                pose = res1.pose
-                if int(res1.n_inliers) < cfg.tracking.min_inliers_track:
-                    st.mode = LOST
-                    st.n_lost_frames += 1
-                    st.consec_ok = 0
-                    st.has_velocity = False
-                    return int(res1.n_inliers)
-
-        # ---- stage 2: vs covisibility local map (TrackLocalMap) ----
-        # Two match-solve iterations: a wide pass absorbs stage-1 error, a
-        # tight re-match refines (the reference gets the same effect from its
-        # viewing-angle-scaled radii + second PoseOptimization).
-        local_kfs = self._local_keyframes()
-        local_ids = self.map.local_map_points(local_kfs, LOCAL_MAP_CAP)
-        res2a = self._run_track(fd, pose, local_ids, 16.0)
-        if int(res2a.n_inliers) >= cfg.tracking.min_inliers_track:
-            pose = res2a.pose
-        res2 = self._run_track(fd, pose, local_ids, 6.0)
-        if int(res2.n_inliers) < int(res2a.n_inliers):
-            res2 = res2a
-        n_inliers = int(res2.n_inliers)
-
-        # Motion sanity gate (see TrackingConfig.max_translation_per_frame).
-        # A BoW relocalization is an absolute fix — exempt from the gate.
-        if not relocalized and not self._motion_plausible(res2.pose, pose_last):
-            st.mode = LOST
-            st.n_lost_frames += 1
-            st.consec_ok = 0
-            st.has_velocity = False
-            return 0
-        self.debug_info = {
-            "s1_inl": int(res1.n_inliers), "s1_match": int(res1.n_matches),
-            "s2a_inl": int(res2a.n_inliers), "s2_inl": int(res2.n_inliers),
-            "n_local": int((local_ids >= 0).sum()),
-        }
-
-        if n_inliers < cfg.tracking.min_inliers_track:
-            st.mode = LOST
-            st.n_lost_frames += 1
-            st.consec_ok = 0
-            st.has_velocity = False
-            return n_inliers
-
-        was_ok = st.mode == OK
-        st.mode = OK
-        st.consec_ok += 1
-        # Velocity update: vel = T_cur . T_last^-1 (Tracking.cc:528).  Only
-        # valid if the previous frame was tracked — after a LOST outage the
-        # stored pose is stale and the quotient is not a per-frame velocity.
-        new_R = np.asarray(res2.pose.R)
-        new_t = np.asarray(res2.pose.t)
-        if was_ok:
-            last_T = SE3(jnp.asarray(st.pose_R), jnp.asarray(st.pose_t))
-            vel = res2.pose.compose(last_T.inverse())
-            st.vel_R, st.vel_t = np.asarray(vel.R), np.asarray(vel.t)
-            st.has_velocity = True
-        else:
-            st.has_velocity = False
-        st.pose_R, st.pose_t = new_R, new_t
-
-        # Found/visible bookkeeping for culling.
-        matched = np.asarray(res2.point_idx)
-        sel = matched >= 0
-        pids = local_ids[matched[sel]]
-        self.map.pt_found[pids[pids >= 0]] += 1
-        self.map.pt_visible[local_ids[local_ids >= 0]] += 1
-
-        # Frame record with final local-map associations.
-        rec = self._to_record(fd)
-        point_ids = np.full(rec.uv.shape[0], -1, np.int32)
-        point_ids[sel] = local_ids[matched[sel]]
-        rec = rec._replace(point_ids=point_ids)
-        self.last_frame = rec
-
-        st.frames_since_kf += 1
-        st.peak_inliers_since_kf = max(st.peak_inliers_since_kf, n_inliers)
-        if self._need_keyframe(rec, n_inliers):
-            self._create_keyframe(rec, stamp)
-            st.peak_inliers_since_kf = n_inliers
-        return n_inliers
-
     # ------------------------------------------------------------------ #
 
-    def _motion_plausible(self, pose_new: SE3, pose_last: SE3) -> bool:
-        """Reject solves that jump implausibly far in one frame.  While LOST
-        the allowance grows with the outage length so relocalization can
-        re-attach after the camera moved on."""
-        t = self.cfg.tracking
-        scale = 1.0 + (self.state.n_lost_frames if self.state.mode == LOST else 0)
-        d = pose_new.compose(pose_last.inverse())
-        dt = float(jnp.linalg.norm(d.t))
-        tr = float(jnp.trace(d.R))
-        ang = float(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
-        self.debug_motion = (dt, ang)
-        return (dt <= t.max_translation_per_frame * scale
-                and ang <= t.max_rotation_per_frame * scale)
-
     def _device_map(self):
-        """Device-resident point arrays, refreshed on arena mutation."""
-        m = self.map
-        if self._dev_map is None or self._dev_version != m.version:
-            self._dev_map = (
-                jnp.asarray(m.pt_pos),
-                brief.to_signed(brief.unpack_bits(jnp.asarray(m.pt_desc))),
-                jnp.asarray(m.pt_valid),
-                jnp.asarray(m.pt_angle),
-                jnp.asarray(m.pt_normal),
-                jnp.asarray(m.pt_min_dist),
-                jnp.asarray(m.pt_max_dist),
-            )
-            self._dev_version = m.version
-        return self._dev_map
+        """Device-resident point arrays, incrementally synced (map_device)."""
+        from . import map_device
+        return map_device.sync(self.map, self.cfg).points
 
     def _run_track(self, fd, pose_pred, point_ids, radius) -> TrackStepResult:
         pos, sd, pv, pa, pn, pmin, pmax = self._device_map()
@@ -832,7 +969,8 @@ class Tracker:
                                             top=self.cfg.tracking.max_local_keyframes - 1)
         return np.unique(np.concatenate([[self.ref_kf], nbrs]))
 
-    def _need_keyframe(self, rec: FrameRecord, n_inliers: int) -> bool:
+    def _need_keyframe(self, tracked_close: int, untracked_close: int,
+                       n_inliers: int) -> bool:
         """NeedNewKeyFrame (Tracking.cc:1049-1140), RGB-D branch."""
         t = self.cfg.tracking
         if self.map.n_kf >= self.cfg.map.max_keyframes - 1:
@@ -843,14 +981,17 @@ class Tracker:
         min_obs = 3 if self.map.n_kf > 2 else self.map.n_kf
         n_ref = int((self.map.point_observation_count(ref_pts)
                      >= min_obs).sum()) if len(ref_pts) else 0
-        # close points tracked / untracked (bNeedToInsertClose).
-        close = (rec.depth > 0) & (rec.depth < self.cfg.camera.depth_threshold)
-        tracked_close = int((close & (rec.point_ids >= 0)).sum())
-        untracked_close = int((close & (rec.point_ids < 0)).sum())
         need_close = tracked_close < 100 and untracked_close > 70
 
         c1a = self.state.frames_since_kf >= t.max_frames_between_kf
-        c1b = self.state.frames_since_kf >= t.min_frames_between_kf
+        # The reference throttles insertion on mapper idleness
+        # (bLocalMappingIdle, Tracking.cc:1075): without it the tracker
+        # floods a busy mapper with a keyframe per frame.  c1a (max-interval)
+        # overrides — the mapper aborts its pending BA for it
+        # (LocalMapping.cc:119 / process_keyframe's skip_ba).
+        mapper_idle = self.mapper_idle_fn() if self.mapper_idle_fn else True
+        c1b = (self.state.frames_since_kf >= t.min_frames_between_kf
+               and mapper_idle)
         # Relative-decay trigger: with a young map few points reach 3
         # observations, so the nRefMatches ratio alone under-inserts; decay
         # against the best inlier count seen since the last insertion catches
@@ -899,16 +1040,33 @@ class Tracker:
         self.ref_kf = kf
         self.state.last_kf = kf
         self.state.frames_since_kf = 0
-        self.last_frame = rec._replace(point_ids=point_ids)
+        self._last_frame = rec._replace(point_ids=point_ids)
+        self._last_pids = point_ids
+        # The device state's candidate set should include the newly spawned
+        # points so the next frame can match them.
+        if self._dev_state is not None:
+            self._dev_state = self._dev_state._replace(
+                pids=jnp.asarray(point_ids))
         if self.on_keyframe:
+            old_R, old_t = self.map.kf_R[kf].copy(), self.map.kf_t[kf].copy()
             self.on_keyframe(kf)
-            # Local BA may have refined this keyframe's pose; the tracker
-            # must follow it or the next prediction fights the updated map
-            # (the reference gets this for free by keeping frame poses
-            # relative to the reference KF, Tracking.cc:558-574).
-            self.state.pose_R = self.map.kf_R[kf].copy()
-            self.state.pose_t = self.map.kf_t[kf].copy()
-            self.state.has_velocity = False
+            # Synchronous mapping may have refined this keyframe's pose; the
+            # tracker must follow it or the next prediction fights the
+            # updated map (the reference gets this for free by keeping
+            # frame poses relative to the reference KF, Tracking.cc:558-574).
+            # Pipelined mode deliberately applies NO correction to the
+            # in-flight state or pending frames: the wide stage-2 re-match +
+            # pose GN re-bases the live pose onto the refined map within one
+            # frame anyway, while out-of-band pose surgery measurably
+            # triggers a BA/tracker feedback loop (each BA delta compounds
+            # the previous one).  Large corrections (loop closure) go
+            # through apply_world_correction explicitly.
+            new_R, new_t = self.map.kf_R[kf], self.map.kf_t[kf]
+            if not self.pipelined:
+                self.state.pose_R = new_R.copy()
+                self.state.pose_t = new_t.copy()
+                self._set_state_pose(new_R, new_t, ok=True,
+                                     pids=self._last_pids)
 
     def _apply_adaptive_budget(self, n_inliers: int) -> None:
         """COEB adaptive feature budget (Tracking.cc:417-466): grow by 500 on
