@@ -112,7 +112,7 @@ def bench_dynamic(frames, cfg):
     from coebslam_tpu.models.detector import YoloDetector
     from coebslam_tpu.slam import dynamic as dynamic_mod
 
-    det = YoloDetector(cfg)
+    det = YoloDetector(cfg.detector, cfg.dynamic)
     jit_dyn = jax.jit(lambda pg, g, b, k: dynamic_mod.dynamic_frontend(
         pg, g, b, k, cfg))
     rng = jax.random.PRNGKey(0)

@@ -123,23 +123,18 @@ def _inv3x3(H):
     return rows * inv_det[..., None, None]
 
 
-def _gn_iteration(prob: BAProblem, cam: CameraConfig, use_huber,
-                  chi2_mono: float, chi2_stereo: float, damping: float,
-                  reduce_fn=None):
-    """One Schur-complement GN step; returns updated poses/points.
+def _assemble(prob: BAProblem, cam: CameraConfig, use_huber,
+              chi2_mono: float, chi2_stereo: float, damping: float):
+    """Assemble the point-marginalized reduced camera system for one point
+    block: returns (S [K,K,6,6], b [K,6], terms) where ``terms`` carries the
+    per-observation quantities needed for point back-substitution.
 
     Layout note: all per-observation quantities live in **lane-major**
     [small..., M, P] / [small..., MP] arrays — the observation axis last.
     TPU tiles the trailing two dims to (8, 128); the naive [P, M, 6, 6]
     layout wastes ~95% of each tile on padding and made one iteration cost
     ~30 ms.  Lane-major VPU math + one-hot MXU matmuls for the reduced
-    system run the same iteration in ~1 ms.
-
-    ``reduce_fn(S, b)`` is the distributed-assembly hook: under shard_map
-    with the point axis sharded, pass ``lambda S, b: (psum(S), psum(b))`` and
-    every device assembles its local partial reduced camera system, the psum
-    rides ICI, and the (tiny) dense solve is computed replicated — the
-    collective Schur assembly of SURVEY §5.8/§7.1."""
+    system run the same iteration in ~1 ms."""
     K = prob.kf_R.shape[0]
     P, M = prob.obs_kf.shape
     MP = M * P
@@ -246,27 +241,31 @@ def _gn_iteration(prob: BAProblem, cam: CameraConfig, use_huber,
     bp_sp = jnp.stack(bp)                                  # [3, P]
     b = b - jnp.einsum("kisp,sp->ki", T, bp_sp)
 
-    if reduce_fn is not None:
-        S, b = reduce_fn(S, b)
+    terms = dict(A=A, Hi=Hi, bp=bp, onehot=onehot, M=M, P=P)
+    return S, b, terms
 
-    # Fixed/invalid cameras: identity rows/cols, zero rhs.
-    free = (~prob.kf_fixed) & prob.kf_valid
+
+def _solve_cameras(S, b, kf_fixed, kf_valid, damping):
+    """Dense solve of the (masked) 6K x 6K reduced camera system -> dxi."""
+    K = S.shape[0]
+    free = (~kf_fixed) & kf_valid
     free_f = free.astype(S.dtype)
     S = S * free_f[:, None, None, None] * free_f[None, :, None, None]
     S = S.at[jnp.arange(K), jnp.arange(K)].add(
         jnp.eye(6) * jnp.where(free, damping, 1.0)[:, None, None])
     b = b * free_f[:, None]
-
-    # Dense solve of the 6K x 6K system.
     S_dense = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
     dxi = jnp.linalg.solve(S_dense, b.reshape(K * 6)).reshape(K, 6)
     # Trust-region clip per camera.
     norm = jnp.linalg.norm(dxi, axis=-1, keepdims=True)
     dxi = dxi * jnp.minimum(1.0, 0.5 / jnp.maximum(norm, 1e-12))
-    dxi = dxi * free_f[:, None]
+    return dxi * free_f[:, None]
 
-    # Back-substitute points: dp = Hpp^-1 (bp - sum_m A^T dxi_kf).
-    # dxi per observation, lane-major: [6, MP] = dxi.T @ onehot.
+
+def _backsub(terms, dxi, pt_valid, pt_pos):
+    """Point back-substitution: dp = Hpp^-1 (bp - sum_m A^T dxi_kf)."""
+    A, Hi, bp, onehot = terms["A"], terms["Hi"], terms["bp"], terms["onehot"]
+    M, P = terms["M"], terms["P"]
     dxi_mp = (dxi.T @ onehot).reshape(6, M, P)
     Atd = [sum(A[i][j] * dxi_mp[i] for i in range(6)).sum(0)
            for j in range(3)]                              # 3 x [P]
@@ -275,11 +274,94 @@ def _gn_iteration(prob: BAProblem, cam: CameraConfig, use_huber,
                     for s in range(3)], -1)                # [P, 3]
     dp_norm = jnp.linalg.norm(dp, axis=-1, keepdims=True)
     dp = dp * jnp.minimum(1.0, 0.5 / jnp.maximum(dp_norm, 1e-12))
-    dp = dp * prob.pt_valid[:, None].astype(dp.dtype)
+    dp = dp * pt_valid[:, None].astype(dp.dtype)
+    return pt_pos + dp
 
+
+def _gn_iteration(prob: BAProblem, cam: CameraConfig, use_huber,
+                  chi2_mono: float, chi2_stereo: float, damping: float,
+                  reduce_fn=None):
+    """One Schur-complement GN step; returns updated poses/points.
+
+    ``reduce_fn(S, b)`` is the distributed-assembly hook: under shard_map
+    with the point axis sharded, pass ``lambda S, b: (psum(S), psum(b))`` and
+    every device assembles its local partial reduced camera system, the psum
+    rides ICI, and the (tiny) dense solve is computed replicated — the
+    collective Schur assembly of SURVEY §5.8/§7.1."""
+    S, b, terms = _assemble(prob, cam, use_huber, chi2_mono, chi2_stereo,
+                            damping)
+    if reduce_fn is not None:
+        S, b = reduce_fn(S, b)
+    dxi = _solve_cameras(S, b, prob.kf_fixed, prob.kf_valid, damping)
+    new_pts = _backsub(terms, dxi, prob.pt_valid, prob.pt_pos)
     new_pose = se3.retract(SE3(prob.kf_R, prob.kf_t), dxi)
-    new_pts = prob.pt_pos + dp
     return prob._replace(kf_R=new_pose.R, kf_t=new_pose.t, pt_pos=new_pts)
+
+
+def _gn_iteration_chunked(prob: BAProblem, cam: CameraConfig, use_huber,
+                          chi2_mono: float, chi2_stereo: float,
+                          damping: float, n_blocks: int):
+    """One GN step over a problem too large for a single assembly: the
+    point axis is processed in ``n_blocks`` blocks under ``lax.scan`` —
+    pass 1 accumulates the reduced camera system (the Schur cross terms are
+    point-separable, so block sums are exact), pass 2 recomputes each
+    block's terms (rematerialization: FLOPs are free, HBM is not) and
+    back-substitutes its points.  This is the global-BA engine
+    (Optimizer::GlobalBundleAdjustemnt [sic], Optimizer.cc:41-237)."""
+    K = prob.kf_R.shape[0]
+    P, M = prob.obs_kf.shape
+    assert P % n_blocks == 0, (P, n_blocks)
+    PB = P // n_blocks
+
+    def block(i):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * PB, PB, axis=0)
+        return prob._replace(pt_pos=sl(prob.pt_pos),
+                             pt_valid=sl(prob.pt_valid),
+                             obs_kf=sl(prob.obs_kf),
+                             obs_uvr=sl(prob.obs_uvr),
+                             obs_w=sl(prob.obs_w),
+                             obs_valid=sl(prob.obs_valid))
+
+    def acc(carry, i):
+        S, b = carry
+        Sb, bb, _ = _assemble(block(i), cam, use_huber, chi2_mono,
+                              chi2_stereo, damping)
+        return (S + Sb, b + bb), None
+
+    init = (jnp.zeros((K, K, 6, 6)), jnp.zeros((K, 6)))
+    (S, b), _ = jax.lax.scan(acc, init, jnp.arange(n_blocks))
+    dxi = _solve_cameras(S, b, prob.kf_fixed, prob.kf_valid, damping)
+
+    def back(_, i):
+        blk = block(i)
+        _, _, terms = _assemble(blk, cam, use_huber, chi2_mono, chi2_stereo,
+                                damping)
+        return None, _backsub(terms, dxi, blk.pt_valid, blk.pt_pos)
+
+    _, new_blocks = jax.lax.scan(back, None, jnp.arange(n_blocks))
+    new_pts = new_blocks.reshape(P, 3)
+    new_pose = se3.retract(SE3(prob.kf_R, prob.kf_t), dxi)
+    return prob._replace(kf_R=new_pose.R, kf_t=new_pose.t, pt_pos=new_pts)
+
+
+def optimize_global_ba(prob: BAProblem, cam: CameraConfig,
+                       cfg: OptimizerConfig, n_blocks: int = 8) -> BAResult:
+    """Full-map bundle adjustment (GlobalBundleAdjustemnt, Optimizer.cc:41):
+    every keyframe and point in one problem, point blocks streamed through
+    the Schur assembly under lax.scan so HBM stays bounded.  The reference
+    runs 10 LM iterations with Huber kernels (LoopClosing.cc:651)."""
+    def body(_, pr):
+        return _gn_iteration_chunked(pr, cam, jnp.bool_(True),
+                                     cfg.chi2_mono, cfg.chi2_stereo,
+                                     damping=1e-5, n_blocks=n_blocks)
+
+    prob = jax.lax.fori_loop(0, cfg.global_ba_iters, body, prob)
+    e, _, _, is_stereo = _residuals_jacobians(prob, cam)
+    chi2 = jnp.sum(e * e, axis=-1) * prob.obs_w
+    th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    final_valid = prob.obs_valid & (chi2 <= th)
+    return BAResult(kf_R=prob.kf_R, kf_t=prob.kf_t, pt_pos=prob.pt_pos,
+                    obs_valid=final_valid, chi2=chi2)
 
 
 def optimize_local_ba(prob: BAProblem, cam: CameraConfig,

@@ -203,6 +203,7 @@ class LocalMapper:
 
         if not hasattr(self, "_jit_triangulate"):
             cam, orb, matcher = cfg.camera, cfg.orb, cfg.matcher
+            K_OUT = 640      # compacted output rows per neighbor
 
             def tri_all(kf_feats, kf_poses, k1, nbr_idx, v1, v2):
                 uv_a, desc_a, lvl_a, ur_a, _ = kf_feats
@@ -217,7 +218,16 @@ class LocalMapper:
                         uv_a[k1], sd1, v1, lvl_a[k1], uv_a[nb], sd2, v2row,
                         lvl_a[nb], ur_a[nb], T1, T2, cam, orb, matcher)
 
-                return jax.vmap(one)(nbr_idx, v2)
+                res = jax.vmap(one)(nbr_idx, v2)
+                # Compact: only ~a few hundred keypoints triangulate per
+                # pair; fetching the full [B, N, 3] point block wastes
+                # ~3x the wire.  top_k floats the good rows to the front.
+                _, sel = jax.lax.top_k(res.good.astype(jnp.float32), K_OUT)
+                good = jnp.take_along_axis(res.good, sel, axis=1)
+                idx2 = jnp.take_along_axis(res.idx2, sel, axis=1)
+                pts = jnp.take_along_axis(
+                    res.points, sel[..., None], axis=1)
+                return sel, good, idx2, pts
 
             self._jit_triangulate = jax.jit(tri_all)
 
@@ -255,12 +265,12 @@ class LocalMapper:
             dm.kf_feats, dm.kf_poses,
             jnp.int32(kf_id), jnp.asarray(nbrs.astype(np.int32)),
             jnp.asarray(v1), jnp.asarray(v2))
-        return {"res": (res.good, res.idx2, res.points),
+        return {"res": res,
                 "nbrs": nbrs, "n_keep": len(keep), "v1_len": v1.shape[0]}
 
     def _tri_writeback(self, kf_id: int, pending) -> None:
         m = self.map
-        good_all, idx2_all, pts_all = jax.device_get(pending["res"])
+        idx1_all, good_all, idx2_all, pts_all = jax.device_get(pending["res"])
         nbrs, n_keep = pending["nbrs"], pending["n_keep"]
 
         # Sequential-semantics dedup: the reference marks a keypoint
@@ -270,28 +280,34 @@ class LocalMapper:
         # Respect associations made since dispatch (async interleave).
         claimed |= m.kf_obs_pt[kf_id] >= 0
         for b, nb in enumerate(nbrs[:n_keep]):
-            good = good_all[b] & ~claimed
-            if not good.any():
-                continue
+            good = good_all[b] & ~claimed[idx1_all[b]]
             # A neighbor keypoint may also have been claimed meanwhile.
             nb_free = m.kf_obs_pt[int(nb)] < 0
             good &= nb_free[idx2_all[b]]
             if not good.any():
                 continue
-            claimed |= good
-            slots1 = np.nonzero(good)[0]
-            slots2 = idx2_all[b][slots1]
-            pts = pts_all[b][slots1]
+            rows = np.nonzero(good)[0]
+            slots1 = idx1_all[b][rows]
+            # Two compacted rows can map to the same keypoint only across
+            # neighbors (claimed handles that); within one neighbor top_k
+            # indices are unique.
+            claimed[slots1] = True
+            slots2 = idx2_all[b][rows]
+            pts = pts_all[b][rows]
             ids = m.add_points(pts, m.kf_desc[kf_id][slots1],
                                first_kf=kf_id,
                                angles=m.kf_angle[kf_id][slots1])
             ok = ids >= 0
-            for s1, s2, pid in zip(slots1[ok], slots2[ok], ids[ok]):
-                m.kf_obs_pt[kf_id, s1] = pid
-                m._add_observation(int(pid), kf_id, int(s1))
-                m.kf_obs_pt[int(nb), s2] = pid
-                m._add_observation(int(pid), int(nb), int(s2))
-            m.update_point_stats(ids[ok])
+            # New points have empty observation rows — wire both views with
+            # direct column assignment (no per-point free-slot search).
+            s1, s2, pid = slots1[ok], slots2[ok], ids[ok]
+            m.kf_obs_pt[kf_id, s1] = pid
+            m.kf_obs_pt[int(nb), s2] = pid
+            m.pt_obs_kf[pid, 0] = kf_id
+            m.pt_obs_slot[pid, 0] = s1
+            m.pt_obs_kf[pid, 1] = int(nb)
+            m.pt_obs_slot[pid, 1] = s2
+            m.update_point_stats(pid)
         m.update_covisibility(kf_id)
 
     # ------------------------------------------------------------------ #
@@ -397,31 +413,49 @@ class LocalMapper:
         slots_all = np.asarray(jax.device_get(pending["slots"]))
         own_pids = pending["own_pids"]
         n_own = len(own_pids)
-        # Vectorized prefetch of observation counts (the python loop below
-        # touches only actual fuse candidates — few).
         for b, nb in enumerate(pending["nbrs"]):
             nb = int(nb)
             slots = slots_all[b][:n_own]
-            cand = np.nonzero(slots >= 0)[0]
-            if len(cand) == 0:
+            cand = (slots >= 0) & m.pt_valid[own_pids]
+            if not cand.any():
                 continue
-            own_counts = m.point_observation_count(own_pids[cand])
-            for j, i in enumerate(cand):
-                pid_own = int(own_pids[i])
-                if not m.pt_valid[pid_own]:
-                    continue
-                slot = int(slots[i])
-                other = int(m.kf_obs_pt[nb, slot])
-                if other < 0:
-                    # Unclaimed keypoint: extend this point's track.
-                    m.kf_obs_pt[nb, slot] = pid_own
-                    m._add_observation(pid_own, nb, slot)
-                elif other != pid_own and m.pt_valid[other]:
-                    # Duplicate landmark: keep the better-observed one.
-                    keep, drop = (pid_own, other) \
-                        if own_counts[j] \
-                        >= m.point_observation_count([other])[0] \
-                        else (other, pid_own)
+            pids_c = own_pids[cand]
+            slots_c = slots[cand]
+            # De-duplicate target slots (two own points claiming the same
+            # neighbor keypoint: first wins, as in the sequential reference).
+            _, first = np.unique(slots_c, return_index=True)
+            pids_c, slots_c = pids_c[first], slots_c[first]
+            other = m.kf_obs_pt[nb, slots_c]
+
+            # Case 1 — unclaimed keypoint: extend the track (batched; each
+            # pid appears once per neighbor, so free-column search is a
+            # single argmax over the obs rows).
+            ext = other < 0
+            if ext.any():
+                p_ext, s_ext = pids_c[ext], slots_c[ext]
+                rows = m.pt_obs_kf[p_ext]
+                free = rows < 0
+                has_free = free.any(1)
+                col = np.argmax(free, 1)
+                p_ext, s_ext, col = p_ext[has_free], s_ext[has_free], \
+                    col[has_free]
+                m.kf_obs_pt[nb, s_ext] = p_ext
+                m.pt_obs_kf[p_ext, col] = nb
+                m.pt_obs_slot[p_ext, col] = s_ext
+
+            # Case 2 — duplicate landmark: keep the better-observed one
+            # (rare; python loop over actual merges only).
+            dup = (other >= 0) & (other != pids_c) \
+                & m.pt_valid[np.clip(other, 0, None)]
+            if dup.any():
+                own_counts = m.point_observation_count(pids_c[dup])
+                other_counts = m.point_observation_count(other[dup])
+                for pid_own, oth, co, ct in zip(pids_c[dup], other[dup],
+                                                own_counts, other_counts):
+                    if not (m.pt_valid[pid_own] and m.pt_valid[oth]):
+                        continue
+                    keep, drop = (int(pid_own), int(oth)) if co >= ct \
+                        else (int(oth), int(pid_own))
                     m.replace_point(drop, keep)
         m.update_covisibility(kf_id)
 
@@ -454,68 +488,81 @@ class LocalMapper:
         kf_index = {int(k): i for i, k in enumerate(window)}
 
         K, P, M = WINDOW_KF, WINDOW_PT, WINDOW_OBS
-        kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
-        kf_t = np.zeros((K, 3), np.float32)
         kf_fixed = np.ones(K, bool)
         kf_valid = np.zeros(K, bool)
-        kf_R[:len(window)] = m.kf_R[window]
-        kf_t[:len(window)] = m.kf_t[window]
         kf_fixed[:len(window)] = fixed
         kf_valid[:len(window)] = True
 
         n_pts = min(len(pts), P)
         pts = pts[:n_pts]
-        pt_pos = np.zeros((P, 3), np.float32)
+        pt_ids = np.zeros(P, np.int32)
+        pt_ids[:n_pts] = pts
         pt_valid = np.zeros(P, bool)
-        pt_pos[:n_pts] = m.pt_pos[pts]
         pt_valid[:n_pts] = True
 
-        # Observation-table fill from the point back-references (native
-        # runtime when available; python fallback otherwise).
-        from .. import native
-
+        # Packed observation table: (global kf, slot) per cell, encoded in
+        # one int32 so the whole window uploads ~200 KB; uv/ur/level gather
+        # from the device KF mirror in-graph (the old host-side fill
+        # shipped ~1 MB of obs_uvr/w per keyframe).
         okf = m.pt_obs_kf[pts]          # [n, MAX_OBS]
         oslot = m.pt_obs_slot[pts]
         in_window = np.isin(okf, window) & (okf >= 0)
-        sf2 = (self.cfg.orb.scale_factor ** 2)
-        kf_index_map = np.full(m.kf_R.shape[0], -1, np.int32)
+        order = np.argsort(~in_window, axis=1, kind="stable")[:, :M]
+        sel = np.take_along_axis(in_window, order, 1)
+        gkf = np.take_along_axis(okf, order, 1)
+        gslot = np.take_along_axis(oslot, order, 1)
+        n_kp = m.kf_uv.shape[1]
+        packed = np.full((P, M), -1, np.int32)
+        packed[:n_pts] = np.where(sel, gkf * n_kp + gslot, -1)
+
+        kf_index_map = np.full(m.kf_R.shape[0] + 1, -1, np.int32)
         for g, w_idx in kf_index.items():
             kf_index_map[g] = w_idx
 
-        obs_kf = np.full((P, M), -1, np.int32)
-        obs_uvr = np.zeros((P, M, 3), np.float32)
-        obs_w = np.ones((P, M), np.float32)
-        obs_valid = np.zeros((P, M), bool)
-        if native.available():
-            okf_n, ouvr_n, ow_n, ov_n = native.fill_ba_obs_table(
-                okf, oslot, kf_index_map, m.kf_uv, m.kf_ur, m.kf_level,
-                sf2, M)
-            obs_kf[:n_pts] = okf_n
-            obs_uvr[:n_pts] = ouvr_n
-            obs_w[:n_pts] = ow_n
-            obs_valid[:n_pts] = ov_n
-        else:
-            for i in range(n_pts):
-                cols = np.nonzero(in_window[i])[0][:M]
-                for j, c in enumerate(cols):
-                    k_global = int(okf[i, c])
-                    s = int(oslot[i, c])
-                    obs_kf[i, j] = kf_index[k_global]
-                    uv = m.kf_uv[k_global, s]
-                    obs_uvr[i, j] = (uv[0], uv[1], m.kf_ur[k_global, s])
-                    obs_w[i, j] = 1.0 / (sf2 ** m.kf_level[k_global, s])
-                    obs_valid[i, j] = True
+        if not hasattr(self, "_jit_ba_assemble"):
+            cam, optcfg = self.cfg.camera, self.cfg.optimizer
+            sf2 = jnp.float32(self.cfg.orb.scale_factor ** 2)
+            NKP = n_kp
+            KW = WINDOW_KF
 
-        prob = local_ba.BAProblem(
-            kf_R=jnp.asarray(kf_R), kf_t=jnp.asarray(kf_t),
-            kf_fixed=jnp.asarray(kf_fixed), kf_valid=jnp.asarray(kf_valid),
-            pt_pos=jnp.asarray(pt_pos), pt_valid=jnp.asarray(pt_valid),
-            obs_kf=jnp.asarray(obs_kf), obs_uvr=jnp.asarray(obs_uvr),
-            obs_w=jnp.asarray(obs_w), obs_valid=jnp.asarray(obs_valid))
-        result = self._jit_ba(prob)
+            def assemble_solve(kf_feats, kf_poses, pts_dev, window_ids,
+                               kf_fixed, kf_valid, win_of_kf, pt_ids,
+                               pt_valid, packed):
+                uv_a, _, lvl_a, ur_a, _ = kf_feats
+                R_a, t_a = kf_poses
+                ok = packed >= 0
+                code = jnp.maximum(packed, 0)
+                g = code // NKP
+                s = code % NKP
+                widx = jnp.where(ok, win_of_kf[g], -1)
+                uv = uv_a[g, s]
+                ur = ur_a[g, s]
+                lvl = lvl_a[g, s].astype(jnp.float32)
+                obs_uvr = jnp.concatenate([uv, ur[..., None]], -1)
+                obs_w = 1.0 / (sf2 ** lvl)
+                prob = local_ba.BAProblem(
+                    kf_R=R_a[window_ids], kf_t=t_a[window_ids],
+                    kf_fixed=kf_fixed, kf_valid=kf_valid,
+                    pt_pos=pts_dev[0][pt_ids], pt_valid=pt_valid,
+                    obs_kf=widx, obs_uvr=obs_uvr, obs_w=obs_w,
+                    obs_valid=ok & (widx >= 0))
+                return local_ba.optimize_local_ba(prob, cam, optcfg)
+
+            self._jit_ba_assemble = jax.jit(assemble_solve)
+
+        window_ids = np.zeros(WINDOW_KF, np.int32)
+        window_ids[:len(window)] = window
+        from . import map_device
+        dm = map_device.sync(m, self.cfg)
+        result = self._jit_ba_assemble(
+            dm.kf_feats, dm.kf_poses, dm.points,
+            jnp.asarray(window_ids), jnp.asarray(kf_fixed),
+            jnp.asarray(kf_valid), jnp.asarray(kf_index_map),
+            jnp.asarray(pt_ids), jnp.asarray(pt_valid),
+            jnp.asarray(packed))
         return {"result": result, "window": window, "fixed": fixed,
                 "pts": pts, "n_pts": n_pts, "okf": okf, "oslot": oslot,
-                "in_window": in_window, "obs_kf": obs_kf}
+                "in_window": in_window, "packed": packed}
 
     def _ba_writeback(self, kf_id: int, pending) -> None:
         m = self.map
@@ -543,9 +590,9 @@ class LocalMapper:
         # map each filled (i, j) table cell back to its source column, then
         # loop only over the actual removals (few).
         okf, oslot = pending["okf"], pending["oslot"]
-        in_window, obs_kf = pending["in_window"], pending["obs_kf"]
+        in_window, packed = pending["in_window"], pending["packed"]
         ov = ov[:n_pts]
-        filled = obs_kf[:n_pts] >= 0
+        filled = packed[:n_pts] >= 0
         # Source column of the j-th filled cell per row.
         order = np.argsort(~in_window, axis=1, kind="stable")   # in-window first
         src_col = order[:, :WINDOW_OBS]

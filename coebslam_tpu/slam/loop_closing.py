@@ -44,6 +44,7 @@ class LoopCloser:
         self.map = arena
         self.db = kf_db
         self.mapper = mapper
+        self._global_ba = None      # lazy slam.global_ba.GlobalBA
         self._rng = jax.random.PRNGKey(13)
         self.last_loop_kf = -1
         self._consistency: List[Dict] = []   # prior candidate groups
@@ -246,10 +247,18 @@ class LoopCloser:
         self._consistency = []
 
         self.run_pose_graph(fixed_kf=cand)
+        # Full global BA after the essential-graph solve, exactly like the
+        # reference's RunGlobalBundleAdjustment (LoopClosing.cc:576-580,
+        # 646-750).  The mapper is drained first so nothing is created
+        # mid-solve (the reference's spanning-tree catch-up propagation is
+        # then vacuous — the solve is a single device program, not a
+        # detached minutes-long thread).
         if self.mapper is not None:
-            # Bounded "global" BA seeded at the loop point (full GBA with a
-            # chunked Schur assembly lands with the scale-out milestone).
-            self.mapper.run_local_ba(kf_id)
+            self.mapper.flush()
+        if self._global_ba is None:
+            from .global_ba import GlobalBA
+            self._global_ba = GlobalBA(self.cfg)
+        self._global_ba.run(self.map, fixed_kf=cand)
 
     # ------------------------------------------------------------------ #
 

@@ -72,6 +72,9 @@ class MapArena:
         # references can follow the merge): replace_point(old, new) sets
         # pt_redirect[old] = new.
         self.pt_redirect = np.full(P, -1, np.int32)
+        # Culled-KF re-anchoring: kf id -> (parent, R_cp, t_cp), the pose
+        # relative to the parent at cull time (KeyFrame mTcp).
+        self.kf_cull_rel = {}
         # Monotonic mutation counter: device-side mirrors (tracking keeps the
         # point arrays resident on the TPU) refresh when this changes.
         self.version = 0
@@ -92,6 +95,24 @@ class MapArena:
 
     def mark_poses_dirty(self) -> None:
         self._pose_version += 1
+
+    def anchored_pose(self, k: int):
+        """World pose of KF k, walking the cull-parent chain if k was
+        culled (SaveTrajectoryTUM's while(pKF->isBad()) loop,
+        System.cc:351-360).  Returns (R, t, found)."""
+        R_rel = np.eye(3, dtype=np.float32)
+        t_rel = np.zeros(3, np.float32)
+        for _ in range(64):
+            if self.kf_valid[k]:
+                R = R_rel @ self.kf_R[k]
+                t = R_rel @ self.kf_t[k] + t_rel
+                return R, t, True
+            if k not in self.kf_cull_rel:
+                break
+            parent, Rcp, tcp = self.kf_cull_rel[k]
+            R_rel, t_rel = R_rel @ Rcp, R_rel @ tcp + t_rel
+            k = parent
+        return self.kf_R[k], self.kf_t[k], False
 
     # ------------------------------------------------------------------ #
     # keyframes
@@ -172,7 +193,18 @@ class MapArena:
     def remove_keyframe(self, k: int) -> None:
         """SetBadFlag for keyframes: clear observations + covis row; orphan
         children re-parent to their best remaining covisible neighbor
-        (KeyFrame.cc:453-540, simplified to best-covis re-parenting)."""
+        (KeyFrame.cc:453-540, simplified to best-covis re-parenting).
+
+        Stores the culled KF's pose relative to its parent (the reference's
+        mTcp, KeyFrame.cc:515) so trajectory export can re-anchor frames
+        whose reference KF was culled (System.cc:351-360)."""
+        parent = int(self.kf_parent[k])
+        if parent < 0:
+            parent = 0
+        Rp, tp = self.kf_R[parent], self.kf_t[parent]
+        Rcp = self.kf_R[k] @ Rp.T
+        tcp = self.kf_t[k] - Rcp @ tp
+        self.kf_cull_rel[k] = (parent, Rcp.copy(), tcp.copy())
         obs = self.kf_obs_pt[k]
         for s in np.nonzero(obs >= 0)[0]:
             self._remove_observation(int(obs[s]), k)

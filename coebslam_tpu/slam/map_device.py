@@ -72,6 +72,13 @@ def _scatter_kf_rows(dev, idx, uv, desc_u8, level, ur, kp_valid):
             v_a.at[idx].set(kp_valid, **kw))
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _adopt_kf_row(kf_dev, k, uv, desc_u8, level, ur, valid):
+    uv_a, d_a, lv_a, ur_a, v_a = kf_dev
+    return (uv_a.at[k].set(uv), d_a.at[k].set(desc_u8),
+            lv_a.at[k].set(level), ur_a.at[k].set(ur), v_a.at[k].set(valid))
+
+
 class DeviceMap:
     """Incrementally-synced device mirrors of a MapArena.
 
@@ -174,6 +181,17 @@ class DeviceMap:
         return self
 
     # ------------------------------------------------------------------ #
+
+    def adopt_keyframe_row(self, m, k: int, fd) -> None:
+        """Write keyframe k's feature block straight from a device-resident
+        FrameData — the data is already on the TPU, so re-uploading the
+        ~400 KB the host just fetched would be pure wire waste."""
+        if self._kf is None or self._arena is not m:
+            return
+        self._kf = _adopt_kf_row(self._kf, jnp.int32(k), fd.feats.uv,
+                                 fd.feats.desc, fd.feats.level, fd.ur,
+                                 fd.feats.valid)
+        m._dirty_kf[k] = False
 
     @property
     def points(self) -> Tuple:

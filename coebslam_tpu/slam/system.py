@@ -245,6 +245,7 @@ class System:
         """Full system reset (System::Reset -> Tracking::Reset,
         Tracking.cc:1582): clear the map and start re-initialization."""
         self.tracker.flush()
+        self.tracker.freeze_trajectory()
         self.map = MapArena(self.cfg)
         self.tracker.map = self.map
         self.mapper.map = self.map
@@ -292,9 +293,11 @@ class System:
         return pids[pids >= 0]
 
     def save_trajectory_tum(self, path: str) -> None:
-        """System::SaveTrajectoryTUM (System.cc:331-401)."""
+        """System::SaveTrajectoryTUM (System.cc:331-401): frame poses are
+        composed relative-to-reference-KF at save time, so loop-closure /
+        BA corrections retroactively fix the whole trajectory."""
         from ..io import trajectory
-        traj = self.tracker.trajectory
+        traj = self.tracker.export_trajectory()
         trajectory.save_tum(path, [s for s, _, _ in traj],
                             [(R, t) for _, R, t in traj])
 
@@ -308,8 +311,8 @@ class System:
 
     def save_trajectory_kitti(self, path: str) -> None:
         from ..io import trajectory
-        trajectory.save_kitti(path, [(R, t)
-                                     for _, R, t in self.tracker.trajectory])
+        trajectory.save_kitti(
+            path, [(R, t) for _, R, t in self.tracker.export_trajectory()])
 
     # ------------------------------------------------------------------ #
 

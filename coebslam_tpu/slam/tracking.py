@@ -390,7 +390,8 @@ class Tracker:
         self.cfg = cfg
         self.map = map_arena if map_arena is not None else MapArena(cfg)
         self.state = TrackerState(budget=cfg.orb.n_features)
-        self.trajectory = []        # list of (stamp, R_cw, t_cw)
+        self.trajectory = []        # list of (stamp, R_cw, t_cw) at track time
+        self.traj_relative = []     # (stamp, ref_kf, R_rel, t_rel, lost)
         self.ref_kf: int = -1
         self.on_keyframe = None     # callback(kf_id) — local mapping hook
         self.on_frame = None        # callback() each frame — mapper poll hook
@@ -462,6 +463,13 @@ class Tracker:
         # System.cc:184-216): no keyframe insertion, no point spawning —
         # pure VO against the frozen map.
         self.localization_only = False
+
+    def freeze_trajectory(self) -> None:
+        """Bake current map poses into the relative records (called before
+        a map reset invalidates the reference keyframes)."""
+        self.traj_relative = [(s, -1, R, t, lost) for (s, R, t), (_, _, _, _, lost)
+                              in zip(self.export_trajectory(),
+                                     self.traj_relative)]
 
     def reset_runtime(self) -> None:
         """Drop all in-flight device state (system reset / map swap)."""
@@ -739,7 +747,7 @@ class Tracker:
             rec = self._fetched_record(jax.device_get(ctx.out.fd))
             rec = rec._replace(point_ids=pids)
             self._spawn_mask = ctx.spawn_mask
-            self._create_keyframe(rec, ctx.stamp)
+            self._create_keyframe(rec, ctx.stamp, fd_dev=ctx.out.fd)
             st.peak_inliers_since_kf = n_inliers
         self._record_pose(ctx.stamp)
         self._bump_frame(n_inliers)
@@ -1004,7 +1012,8 @@ class Tracker:
               or need_close) and n_inliers > t.min_inliers_kf
         return bool((c1a or (c1b and c2)) and n_inliers > t.min_inliers_kf)
 
-    def _create_keyframe(self, rec: FrameRecord, stamp: float) -> None:
+    def _create_keyframe(self, rec: FrameRecord, stamp: float,
+                         fd_dev: Optional[FrameData] = None) -> None:
         """CreateNewKeyFrame (Tracking.cc:1142-1212): insert KF; spawn map
         points for close-depth keypoints without an association."""
         cam = self.cfg.camera
@@ -1035,6 +1044,10 @@ class Tracker:
         kf = self.map.add_keyframe(
             self.state.pose_R, self.state.pose_t, stamp, rec.uv, rec.level,
             rec.angle, rec.desc, rec.depth, rec.ur, rec.valid, point_ids)
+        if fd_dev is not None:
+            dm = self.map.__dict__.get("_devmap")
+            if dm is not None:
+                dm.adopt_keyframe_row(self.map, kf, fd_dev)
         new_ids = point_ids[point_ids >= 0]
         self.map.update_point_stats(new_ids)
         self.ref_kf = kf
@@ -1110,3 +1123,29 @@ class Tracker:
     def _record_pose(self, stamp: float) -> None:
         self.trajectory.append((stamp, self.state.pose_R.copy(),
                                 self.state.pose_t.copy()))
+        # Loop-consistent record: pose RELATIVE to the reference keyframe
+        # (Tcr, Tracking.cc:558-574) so pose-graph / global-BA corrections
+        # retroactively fix the exported trajectory (System.cc:331-401).
+        if self.ref_kf >= 0:
+            Rr, tr = self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf]
+            R_rel = self.state.pose_R @ Rr.T
+            t_rel = self.state.pose_t - R_rel @ tr
+            self.traj_relative.append(
+                (stamp, self.ref_kf, R_rel, t_rel, self.state.mode == LOST))
+        else:
+            self.traj_relative.append(
+                (stamp, -1, self.state.pose_R.copy(),
+                 self.state.pose_t.copy(), self.state.mode == LOST))
+
+    def export_trajectory(self):
+        """Compose the relative records against the CURRENT keyframe poses
+        (System::SaveTrajectoryTUM semantics): loop corrections applied
+        after tracking are reflected in every earlier frame."""
+        out = []
+        for stamp, ref, R_rel, t_rel, lost in self.traj_relative:
+            if ref < 0:
+                out.append((stamp, R_rel, t_rel))
+                continue
+            Rr, tr, _ = self.map.anchored_pose(int(ref))
+            out.append((stamp, R_rel @ Rr, R_rel @ tr + t_rel))
+        return out
