@@ -119,10 +119,14 @@ def bench_dynamic(frames, cfg):
 
     def one(prev_g, g):
         boxes = det.detect(g)
+        # Fixed-shape pad (as System._pad_boxes): a varying box count must
+        # never retrace the jitted front-end.
+        padded = np.full((cfg.dynamic.max_boxes, 4), -1.0, np.float32)
+        b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        n = min(len(b), cfg.dynamic.max_boxes)
+        padded[:n] = b[:n]
         dres = jit_dyn(prev_g.astype(jnp.float32), g.astype(jnp.float32),
-                       jnp.asarray(boxes, jnp.float32)[:cfg.dynamic.max_boxes]
-                       if np.ndim(boxes) == 2 and len(boxes)
-                       else jnp.full((cfg.dynamic.max_boxes, 4), -1.0), rng)
+                       jnp.asarray(padded), rng)
         return dres.mask
 
     gs = [jax.device_put(f[0]) for f in frames[:24]]

@@ -98,12 +98,35 @@ class KeyFrameDatabase:
                                          max_candidates: int = 5
                                          ) -> np.ndarray:
         """DetectRelocalizationCandidates (KeyFrameDatabase.cc:199-309) —
-        same scheme with no min-score floor and no exclusion set."""
+        same covisibility-group accumulation scheme as loop detection but
+        with no min-score floor and no exclusion set: each candidate's score
+        is accumulated over its top-10 covisible neighbors that also share
+        enough words; groups with accumulated score >= 0.75x the best group
+        survive, and each surviving group contributes its best single KF."""
         shared = self._shared_words(words, None)
         if shared.max(initial=0) == 0:
             return np.zeros(0, np.int64)
         min_common = int(0.8 * shared.max())
         cands = np.nonzero(shared > max(min_common, 0))[0]
         scores = 1.0 - 0.5 * np.abs(bow[None] - self.kf_bow[cands]).sum(1)
-        order = np.argsort(-scores)
-        return cands[order][:max_candidates].astype(np.int64)
+        if len(cands) == 0:
+            return np.zeros(0, np.int64)
+
+        score_of = dict(zip(cands.tolist(), scores.tolist()))
+        acc = []  # (acc_score, best_kf_score, best_kf)
+        for c, s in zip(cands, scores):
+            total, best_s, best_kf = float(s), float(s), int(c)
+            for g in self.map.best_covisible(int(c), 10):
+                if not (self.registered[g] and shared[g] > min_common):
+                    continue
+                gs = score_of.get(int(g))
+                if gs is None:
+                    gs = float(1.0 - 0.5 * np.abs(bow - self.kf_bow[g]).sum())
+                total += gs
+                if gs > best_s:
+                    best_s, best_kf = gs, int(g)
+            acc.append((total, best_s, best_kf))
+        best_acc = max(a for a, _, _ in acc)
+        out = sorted({(bs, kf) for a, bs, kf in acc if a >= 0.75 * best_acc},
+                     reverse=True)
+        return np.asarray([kf for _, kf in out[:max_candidates]], np.int64)

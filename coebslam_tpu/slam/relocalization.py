@@ -2,10 +2,16 @@
 
 Replaces `Tracking::Relocalization` (Tracking.cc:1417-1580): candidate
 keyframes from the inverted file, descriptor matching against each
-candidate's map points (nn-ratio 0.75, >= 15 matches to attempt), then —
-instead of EPnP iterations (PnPsolver.cc:165) — a batched 3-point Horn
-RANSAC on the RGB-D back-projections scored by reprojection, refined by the
-standard robust pose GN, accepted at >= 50 inliers (Tracking.cc:1556).
+candidate's map points (nn-ratio 0.75, >= 15 matches to attempt), then a
+batched RANSAC pose solve, refined by the standard robust pose GN,
+accepted at >= 50 inliers (Tracking.cc:1556).
+
+Two RANSAC kernels, chosen by the frame's depth coverage:
+
+* RGB-D: 3-point Horn alignment on back-projections scored by
+  reprojection — better conditioned than EPnP when depth exists.
+* depth-free (monocular, or sparse-depth RGB-D): batched EPnP
+  (ops/pnp.py), the reference's actual solver (PnPsolver.cc:67-341).
 """
 from __future__ import annotations
 
@@ -19,7 +25,7 @@ from ..config import SystemConfig
 from ..geometry import camera as cam_ops
 from ..geometry.se3 import SE3
 from ..optim import pose_gn
-from ..ops import brief, matching, procrustes
+from ..ops import brief, matching, pnp, procrustes
 from .frame import FrameData
 from .keyframe_db import KeyFrameDatabase
 from .map import MapArena
@@ -57,6 +63,24 @@ class Relocalizer:
             return res, align
 
         self._jit_attempt = jax.jit(attempt)
+
+        def attempt_pnp(frame_signed, frame_valid, frame_uv,
+                        pt_signed, pt_valid, pt_pos, key):
+            """Depth-free attempt: 2D-3D EPnP RANSAC (PnPsolver parity)."""
+            d = matching.hamming_matrix(frame_signed, pt_signed)
+            res = matching.match(d, max_distance=cfg.matcher.th_low,
+                                 ratio=cfg.matcher.nn_ratio_bow, mutual=True,
+                                 row_valid=frame_valid, col_valid=pt_valid)
+            X = pt_pos[jnp.clip(res.idx, 0)]            # world points
+            sol = pnp.ransac_epnp(
+                X, frame_uv, res.valid, key, cfg.camera,
+                n_hypotheses=cfg.ransac.pnp_iterations)
+            align = procrustes.AlignmentResult(
+                scale=jnp.float32(1.0), R=sol.R, t=sol.t,
+                inliers=sol.inliers, n_inliers=sol.n_inliers)
+            return res, align
+
+        self._jit_attempt_pnp = jax.jit(attempt_pnp)
         self._jit_refine = jax.jit(
             lambda pose, X, obs, w, v: pose_gn.optimize_pose(
                 pose, X, obs, w, v, cfg.camera, cfg.optimizer))
@@ -70,6 +94,12 @@ class Relocalizer:
         frame_signed = fd.feats.signed_desc()
         has_depth = fd.depth > 0
         pts_cam = cam_ops.unproject(self.cfg.camera, fd.feats.uv, fd.depth)
+        # Depth coverage decides the kernel: Horn alignment needs 3D on the
+        # frame side; EPnP (the reference's PnPsolver) does not.
+        n_valid = max(int(np.asarray(fd.feats.valid).sum()), 1)
+        depth_frac = float(np.asarray(has_depth & fd.feats.valid).sum()) \
+            / n_valid
+        use_pnp = depth_frac < 0.5
 
         for c in cands:
             c = int(c)
@@ -91,10 +121,16 @@ class Relocalizer:
             pt_signed = brief.to_signed(brief.unpack_bits(
                 jnp.asarray(self.map.pt_desc[pad])))
             self._rng, key = jax.random.split(self._rng)
-            res, align = self._jit_attempt(
-                frame_signed, fd.feats.valid, fd.feats.uv, pts_cam,
-                has_depth, pt_signed, jnp.asarray(pt_valid),
-                jnp.asarray(self.map.pt_pos[pad]), key)
+            if use_pnp:
+                res, align = self._jit_attempt_pnp(
+                    frame_signed, fd.feats.valid, fd.feats.uv,
+                    pt_signed, jnp.asarray(pt_valid),
+                    jnp.asarray(self.map.pt_pos[pad]), key)
+            else:
+                res, align = self._jit_attempt(
+                    frame_signed, fd.feats.valid, fd.feats.uv, pts_cam,
+                    has_depth, pt_signed, jnp.asarray(pt_valid),
+                    jnp.asarray(self.map.pt_pos[pad]), key)
             if int(res.valid.sum()) < 15:
                 continue
             if int(align.n_inliers) < 10:

@@ -189,9 +189,17 @@ def l1_score(bow_a, bow_b):
 
 
 def load_orbvoc_text(path: str) -> Vocabulary:
-    """Load the reference's ORBvoc.txt (DBoW2 text format: header
-    ``k L scoring weighting`` then one node per line:
-    ``parent is_leaf 32-byte-descriptor weight``)."""
+    """Load the reference's ORBvoc.txt (DBoW2 text format).
+
+    Format (TemplatedVocabulary::saveToTextFile): a header line
+    ``k L scoring weighting`` followed by one line per node *excluding the
+    root*: ``parent is_leaf d0 .. d31 weight``.  Node ids are implicit: the
+    root is node 0 and the i-th data line (1-based) is node i.  ``parent``
+    is the final node id of the parent (root = 0) — NOT offset; the loader
+    round-trips against :func:`save_orbvoc_text` in
+    tests/test_vocabulary.py.  Word ids are assigned to leaves in file
+    order, matching TemplatedVocabulary::createWords' node-id order.
+    """
     with open(path) as f:
         header = f.readline().split()
         k, L = int(header[0]), int(header[1])
@@ -215,8 +223,8 @@ def load_orbvoc_text(path: str) -> Vocabulary:
     child_count = np.zeros(n_nodes, np.int32)
     for i, (parent, is_leaf, desc, weight) in enumerate(rows, start=1):
         node_desc[i] = desc
-        p = parent + 1  # format indexes nodes from 0 excluding root? keep +1
-        if p < n_nodes and child_count[p] < k:
+        p = parent  # parent ids are final node ids, root = 0 (DBoW2 text)
+        if 0 <= p < n_nodes and child_count[p] < k:
             children[p, child_count[p]] = i
             child_count[p] += 1
             node_level[i] = node_level[p] + 1
@@ -225,6 +233,29 @@ def load_orbvoc_text(path: str) -> Vocabulary:
             weights.append(weight)
     return Vocabulary(node_desc, children, word_id,
                       np.asarray(weights, np.float32), node_level, L, k)
+
+
+def save_orbvoc_text(path: str, voc: Vocabulary) -> None:
+    """Write a vocabulary in DBoW2's ORBvoc.txt text format (the exact
+    inverse of :func:`load_orbvoc_text`; used for the round-trip test and
+    for interop with reference tooling).
+
+    Requires nodes to be stored parent-before-child (true for trees built
+    by :func:`train` and :func:`load_orbvoc_text`).
+    """
+    n_nodes = len(voc.node_desc)
+    parent = np.zeros(n_nodes, np.int64)
+    for p in range(n_nodes):
+        for c in voc.children[p]:
+            if c >= 0:
+                parent[c] = p
+    with open(path, "w") as f:
+        f.write(f"{voc.branching} {voc.depth} 0 0\n")
+        for i in range(1, n_nodes):
+            is_leaf = int(voc.word_id[i] >= 0)
+            w = float(voc.word_weight[voc.word_id[i]]) if is_leaf else 0.0
+            desc = " ".join(str(int(b)) for b in voc.node_desc[i])
+            f.write(f"{parent[i]} {is_leaf} {desc} {w}\n")
 
 
 def save(path: str, voc: Vocabulary) -> None:

@@ -127,3 +127,64 @@ class TestMonocularE2E:
         aligned = float(s) * est @ np.asarray(R).T + np.asarray(t)
         rmse = float(np.sqrt(((aligned - gt) ** 2).sum(1).mean()))
         assert rmse < 0.25, rmse
+
+
+class TestMonocularRelocalization:
+    def test_kidnap_and_relocalize_depth_free(self):
+        """Monocular kidnap test: initialize + map, go LOST on black
+        frames, return to a seen viewpoint and relocalize — must succeed
+        with NO depth anywhere (exercises the EPnP path of
+        slam/relocalization.py; PnPsolver.cc:67-341 parity)."""
+        from coebslam_tpu.ops import extractor
+        from coebslam_tpu.slam import vocabulary as voc_mod
+        from coebslam_tpu.slam.system import System
+
+        cfg = SystemConfig(
+            camera=CameraConfig(),
+            orb=OrbConfig(max_keypoints=1024, n_levels=4, n_features=1000),
+            map=MapConfig(max_keyframes=64, max_points=16384),
+            tracking=TrackingConfig(max_frames_between_kf=6,
+                                    reset_if_lost_with_kfs_below=2),
+            sensor="monocular")
+        planes = synthetic.make_room(seed=0)
+        n_frames = 22
+        poses = synthetic.camera_trajectory(60, radius=0.8)[:n_frames]
+        render = jax.jit(lambda p: synthetic.render(cfg.camera, p, planes)[0])
+        frames = [render(p) for p in poses]
+
+        # Tiny trained vocab from the scene's own descriptors.
+        ex = jax.jit(lambda g: extractor.extract(g, cfg.orb))
+        descs = []
+        for g in frames[::4]:
+            feats = ex(g)
+            descs.append(np.asarray(feats.desc)[np.asarray(feats.valid)])
+        vocab = voc_mod.train(np.concatenate(descs)[:4000],
+                              branching=8, depth=3, seed=0)
+
+        sysm = System(cfg, vocabulary=vocab)
+        states = []
+        for i, g in enumerate(frames):
+            state, _ = sysm.track_monocular(g, stamp=i / 30.0)
+            states.append(state)
+        assert states[-1] == "OK", states
+        assert len(sysm.map.valid_keyframes()) >= 2
+
+        # Kidnap: featureless frames until LOST.
+        black = jnp.zeros_like(frames[0])
+        for j in range(3):
+            state, _ = sysm.track_monocular(black,
+                                            stamp=(n_frames + j) / 30.0)
+        assert sysm.get_tracking_state() == "LOST"
+
+        # Return to a previously-seen viewpoint.
+        back = 12
+        state, n = sysm.track_monocular(frames[back],
+                                        stamp=(n_frames + 4) / 30.0)
+        assert state == "OK", (state, n)
+        # Pose must be near where the system originally was at that frame
+        # (same map => same frame of reference, mono scale included).
+        _, R_orig, t_orig = sysm.tracker.trajectory[back]
+        c_orig = -np.asarray(R_orig).T @ np.asarray(t_orig)
+        R_now = sysm.tracker.state.pose_R
+        c_now = -R_now.T @ sysm.tracker.state.pose_t
+        assert np.linalg.norm(c_now - c_orig) < 0.15, (c_now, c_orig)

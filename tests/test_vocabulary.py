@@ -77,6 +77,93 @@ class TestVocabulary:
         assert s_loop > s_far, (s_loop, s_far)   # trajectory loops back
 
 
+def _random_voc(k: int, depth: int, seed: int = 0,
+                frontier_cap: int = 160) -> voc_mod.Vocabulary:
+    """Random sparse k-ary tree of the given depth (BFS order, like DBoW2):
+    exercises the descent at ORBvoc scale parameters without training 10^6
+    nodes."""
+    rng = np.random.RandomState(seed)
+    node_desc = [np.zeros(32, np.uint8)]
+    children: list = [[]]
+    node_level = [0]
+    frontier = [0]
+    for level in range(depth):
+        if len(frontier) > frontier_cap:
+            frontier = list(rng.choice(frontier, frontier_cap, replace=False))
+        nxt = []
+        for p in frontier:
+            for _ in range(k):
+                i = len(node_desc)
+                node_desc.append(
+                    rng.randint(0, 256, 32).astype(np.uint8))
+                children.append([])
+                node_level.append(level + 1)
+                children[p].append(i)
+                nxt.append(i)
+        frontier = nxt
+    n = len(node_desc)
+    child_arr = np.full((n, k), -1, np.int32)
+    for i, ch in enumerate(children):
+        child_arr[i, :len(ch)] = ch
+    word_id = np.full(n, -1, np.int32)
+    leaves = [i for i in range(n) if not children[i] and i != 0]
+    word_id[leaves] = np.arange(len(leaves))
+    return voc_mod.Vocabulary(
+        np.asarray(node_desc), child_arr, word_id,
+        np.ones(len(leaves), np.float32) / len(leaves),
+        np.asarray(node_level, np.int32), depth, k)
+
+
+class TestOrbvocText:
+    def test_round_trip(self, vocab, tmp_path):
+        """save -> load in DBoW2 text format reproduces the tree exactly
+        (validates the parent-id convention against the format contract:
+        parent ids are final node ids, root = 0)."""
+        path = str(tmp_path / "voc.txt")
+        voc_mod.save_orbvoc_text(path, vocab)
+        voc2 = voc_mod.load_orbvoc_text(path)
+        np.testing.assert_array_equal(voc2.node_desc, vocab.node_desc)
+        np.testing.assert_array_equal(voc2.word_id, vocab.word_id)
+        np.testing.assert_array_equal(voc2.node_level, vocab.node_level)
+        assert voc2.branching == vocab.branching
+        for a, b in zip(vocab.children, voc2.children):
+            assert set(a[a >= 0].tolist()) == set(b[b >= 0].tolist())
+        np.testing.assert_allclose(voc2.word_weight, vocab.word_weight,
+                                   rtol=1e-6)
+        # Identical transform on random descriptors through the reloaded tree.
+        rng = np.random.RandomState(1)
+        desc = rng.randint(0, 256, (256, 32)).astype(np.uint8)
+        w1, g1 = voc_mod.transform_host(vocab, desc)
+        w2, g2 = voc_mod.transform_host(voc2, desc)
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(g1, g2)
+
+    def test_orbvoc_scale_descent_parity(self):
+        """k=10, depth=6 (the real ORBvoc.txt parameters) on a sparse random
+        tree: jitted transform == host transform, including mixed-depth
+        leaves and the 4-levels-up grouping."""
+        voc = _random_voc(k=10, depth=6, seed=3)
+        assert voc.n_words > 1000
+        rng = np.random.RandomState(2)
+        desc = rng.randint(0, 256, (512, 32)).astype(np.uint8)
+        valid = rng.rand(512) > 0.1
+        words_h, groups_h = voc_mod.transform_host(voc, desc[valid])
+        words_j, groups_j, bow = jax.jit(
+            lambda d, v: voc_mod.transform(voc, d, v))(
+                jnp.asarray(desc), jnp.asarray(valid))
+        np.testing.assert_array_equal(np.asarray(words_j)[valid], words_h)
+        np.testing.assert_array_equal(np.asarray(groups_j)[valid], groups_h)
+        assert abs(float(jnp.sum(jnp.abs(bow))) - 1.0) < 1e-5
+        # round-trip the big tree through the text format too
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "voc.txt")
+            voc_mod.save_orbvoc_text(p, voc)
+            voc2 = voc_mod.load_orbvoc_text(p)
+            w2, _ = voc_mod.transform_host(voc2, desc[valid])
+            np.testing.assert_array_equal(w2, words_h)
+
+
 class TestRelocalizationE2E:
     def test_relocalize_after_blackout(self, world, vocab):
         """Track, lose tracking on black frames, recover by BoW reloc."""
