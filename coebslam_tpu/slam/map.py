@@ -51,6 +51,10 @@ class MapArena:
         # spanning tree parent (first covis connection, KeyFrame.cc:371-376).
         self.kf_parent = np.full(K, -1, np.int32)
         self.n_kf = 0
+        # Monotonic insertion sequence (id recycling makes raw ids useless
+        # as an age proxy): kf_seq[k] = how many KFs were inserted before k.
+        self.kf_seq = np.zeros(K, np.int64)
+        self.kf_seq_counter = 0
 
         # --- map points ---
         self.pt_pos = np.zeros((P, 3), np.float32)
@@ -63,6 +67,7 @@ class MapArena:
         self.pt_found = np.zeros(P, np.int32)      # MapPoint::IncreaseFound
         self.pt_visible = np.zeros(P, np.int32)    # MapPoint::IncreaseVisible
         self.pt_first_kf = np.full(P, -1, np.int32)
+        self.pt_first_seq = np.full(P, -1, np.int64)   # creation kf_seq
         # observation back-references: (kf, slot) pairs per point.
         self.pt_obs_kf = np.full((P, MAX_OBS_PER_POINT), -1, np.int32)
         self.pt_obs_slot = np.full((P, MAX_OBS_PER_POINT), -1, np.int32)
@@ -75,6 +80,14 @@ class MapArena:
         # Culled-KF re-anchoring: kf id -> (parent, R_cp, t_cp), the pose
         # relative to the parent at cull time (KeyFrame mTcp).
         self.kf_cull_rel = {}
+        # Recycled keyframe ids (KF analogue of _free_pt): culling reclaims
+        # capacity so long runs never exhaust the arena.  An id becomes
+        # reusable only after its cull-relative chain is folded away and
+        # on_keyframe_removed listeners re-anchored their references.
+        self._free_kf: List[int] = []
+        # Listeners called with the removed kf id BEFORE its id is recycled
+        # (tracker re-anchors trajectory records; db erases the BoW row).
+        self.on_keyframe_removed: List = []
         # Monotonic mutation counter: device-side mirrors (tracking keeps the
         # point arrays resident on the TPU) refresh when this changes.
         self.version = 0
@@ -126,9 +139,16 @@ class MapArena:
           point_ids: [N] int32 — map-point id per keypoint slot (-1 none).
         Returns the new keyframe id.
         """
-        k = self.n_kf
-        if k >= self.kf_R.shape[0]:
-            raise RuntimeError("keyframe arena full")
+        if self._free_kf:
+            k = self._free_kf.pop()
+            # Recycled slot: clear state a previous tenant left behind.
+            self.kf_parent[k] = -1
+            self.kf_cull_rel.pop(k, None)
+        else:
+            k = self.n_kf
+            if k >= self.kf_R.shape[0]:
+                raise RuntimeError("keyframe arena full")
+            self.n_kf += 1
         self.kf_R[k] = R_cw
         self.kf_t[k] = t_cw
         self.kf_stamp[k] = stamp
@@ -140,7 +160,8 @@ class MapArena:
         self.kf_ur[k] = ur
         self.kf_kp_valid[k] = kp_valid
         self.kf_valid[k] = True
-        self.n_kf += 1
+        self.kf_seq[k] = self.kf_seq_counter
+        self.kf_seq_counter += 1
         self._dirty_kf[k] = True
         self._pose_version += 1
 
@@ -218,6 +239,21 @@ class MapArena:
             nb = self.covisible_keyframes(int(c), min_weight=1, top=1)
             self.kf_parent[c] = int(nb[0]) if len(nb) else self.kf_parent[k]
 
+        # --- id recycling ---
+        # 1. listeners re-anchor external references (trajectory records,
+        #    BoW rows) while kf_cull_rel[k] still resolves k.
+        for cb in self.on_keyframe_removed:
+            cb(k)
+        # 2. fold earlier culled KFs whose re-anchor chain passes through k,
+        #    so no chain references k once it is reused.
+        _, Rk, tk = self.kf_cull_rel[k]
+        for j, (pj, Rj, tj) in list(self.kf_cull_rel.items()):
+            if pj == k and j != k:
+                self.kf_cull_rel[j] = (parent, Rj @ Rk, Rj @ tk + tj)
+        del self.kf_cull_rel[k]
+        # 3. the slot is now unreferenced: reclaim it.
+        self._free_kf.append(k)
+
     # ------------------------------------------------------------------ #
     # points
     # ------------------------------------------------------------------ #
@@ -245,6 +281,8 @@ class MapArena:
             self.pt_found[sel] = 1
             self.pt_visible[sel] = 1
             self.pt_first_kf[sel] = first_kf
+            self.pt_first_seq[sel] = self.kf_seq[first_kf] \
+                if first_kf >= 0 else -1
             self.pt_obs_kf[sel] = -1
             self.pt_obs_slot[sel] = -1
             self.pt_redirect[sel] = -1    # recycled slot: clear stale merge

@@ -389,6 +389,7 @@ class Tracker:
     def __init__(self, cfg: SystemConfig, map_arena: Optional[MapArena] = None):
         self.cfg = cfg
         self.map = map_arena if map_arena is not None else MapArena(cfg)
+        self.map.on_keyframe_removed.append(self._on_kf_removed)
         self.state = TrackerState(budget=cfg.orb.n_features)
         self.trajectory = []        # list of (stamp, R_cw, t_cw) at track time
         self.traj_relative = []     # (stamp, ref_kf, R_rel, t_rel, lost)
@@ -463,6 +464,26 @@ class Tracker:
         # System.cc:184-216): no keyframe insertion, no point spawning —
         # pure VO against the frozen map.
         self.localization_only = False
+
+    def _on_kf_removed(self, k: int) -> None:
+        """Re-anchor every reference to a culled keyframe BEFORE its id is
+        recycled (MapArena.remove_keyframe listener): trajectory records
+        referencing k fold the cull-relative pose (mTcp) into their own
+        relative pose and re-anchor to the cull parent; the live reference
+        keyframe falls back to the parent too."""
+        rel = self.map.kf_cull_rel.get(k)
+        if rel is None:                       # defensive: nothing to fold
+            parent, Rcp, tcp = 0, np.eye(3, dtype=np.float32), \
+                np.zeros(3, np.float32)
+        else:
+            parent, Rcp, tcp = rel
+        for i, (stamp, ref, R_rel, t_rel, lost) in \
+                enumerate(self.traj_relative):
+            if ref == k:
+                self.traj_relative[i] = (
+                    stamp, parent, R_rel @ Rcp, R_rel @ tcp + t_rel, lost)
+        if self.ref_kf == k:
+            self.ref_kf = int(parent)
 
     def freeze_trajectory(self) -> None:
         """Bake current map poses into the relative records (called before
