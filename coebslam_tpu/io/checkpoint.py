@@ -18,9 +18,9 @@ from ..slam.map import MapArena
 _ARENA_FIELDS = [
     "kf_R", "kf_t", "kf_stamp", "kf_valid", "kf_uv", "kf_level", "kf_angle",
     "kf_desc", "kf_depth", "kf_ur", "kf_kp_valid", "kf_obs_pt", "covis",
-    "kf_parent", "pt_pos", "pt_valid", "pt_desc", "pt_normal", "pt_min_dist",
-    "pt_max_dist", "pt_angle", "pt_found", "pt_visible", "pt_first_kf",
-    "pt_obs_kf", "pt_obs_slot",
+    "kf_parent", "kf_seq", "pt_pos", "pt_valid", "pt_desc", "pt_normal",
+    "pt_min_dist", "pt_max_dist", "pt_angle", "pt_found", "pt_visible",
+    "pt_first_kf", "pt_first_seq", "pt_obs_kf", "pt_obs_slot", "pt_redirect",
 ]
 
 
@@ -31,6 +31,16 @@ def save_map(path: str, arena: MapArena, tracker_state=None,
     data["n_kf"] = np.asarray(arena.n_kf)
     data["n_pt"] = np.asarray(arena.n_pt)
     data["free_pt"] = np.asarray(arena._free_pt, np.int64)
+    data["free_kf"] = np.asarray(arena._free_kf, np.int64)
+    data["kf_seq_counter"] = np.asarray(arena.kf_seq_counter)
+    # Cull-relative re-anchor chains (kf id -> parent, R_cp, t_cp).
+    cull = sorted(arena.kf_cull_rel.items())
+    data["cull_ids"] = np.asarray([k for k, _ in cull], np.int64)
+    data["cull_parent"] = np.asarray([v[0] for _, v in cull], np.int64)
+    data["cull_R"] = (np.stack([v[1] for _, v in cull])
+                      if cull else np.zeros((0, 3, 3), np.float32))
+    data["cull_t"] = (np.stack([v[2] for _, v in cull])
+                      if cull else np.zeros((0, 3), np.float32))
     if tracker_state is not None:
         data["tk_pose_R"] = tracker_state.pose_R
         data["tk_pose_t"] = tracker_state.pose_t
@@ -57,7 +67,14 @@ def load_map(path: str, cfg: SystemConfig, kf_db=None) -> MapArena:
         setattr(arena, f, src.copy())
     arena.n_kf = int(z["n_kf"])
     arena.n_pt = int(z["n_pt"])
-    arena._free_pt = list(z["free_pt"])
+    arena._free_pt = [int(i) for i in z["free_pt"]]
+    if "free_kf" in z:
+        arena._free_kf = [int(i) for i in z["free_kf"]]
+        arena.kf_seq_counter = int(z["kf_seq_counter"])
+        arena.kf_cull_rel = {
+            int(k): (int(p), R.copy(), t.copy())
+            for k, p, R, t in zip(z["cull_ids"], z["cull_parent"],
+                                  z["cull_R"], z["cull_t"])}
     if kf_db is not None and "db_words" in z:
         kf_db.kf_words = z["db_words"].copy()
         kf_db.kf_groups = z["db_groups"].copy()

@@ -326,7 +326,9 @@ class LocalMapper:
         # Only recently created points are vetted (the reference's
         # mlpRecentAddedMapPoints list holds points for ~3 keyframes;
         # LocalMapping.cc:178-204) — mature points are never re-culled here.
-        age = m.n_kf - 1 - m.pt_first_kf[pids]
+        # Age is measured in insertion SEQUENCE numbers, not ids: keyframe
+        # ids are recycled after culling, so id arithmetic aliases tenants.
+        age = m.kf_seq_counter - 1 - m.pt_first_seq[pids]
         recent = age <= 3
         found_ratio = m.pt_found[pids] / np.maximum(m.pt_visible[pids], 1)
         obs_count = m.point_observation_count(pids)

@@ -46,7 +46,9 @@ class LoopCloser:
         self.mapper = mapper
         self._global_ba = None      # lazy slam.global_ba.GlobalBA
         self._rng = jax.random.PRNGKey(13)
-        self.last_loop_kf = -1
+        # Sequence number (NOT keyframe id — ids are recycled) of the last
+        # accepted loop; gates re-detection for 10 insertions.
+        self.last_loop_seq = -(10 ** 9)
         self._consistency: List[Dict] = []   # prior candidate groups
         self.loop_edges: List = []           # (kf_a, kf_b) accepted loops
         self.n_loops_closed = 0
@@ -68,7 +70,8 @@ class LoopCloser:
     def detect(self, kf_id: int) -> int:
         """Returns a consistent loop-candidate KF id or -1."""
         m = self.map
-        if kf_id < 10 or kf_id - self.last_loop_kf < 10:
+        seq = int(m.kf_seq[kf_id])
+        if seq < 10 or seq - self.last_loop_seq < 10:
             self._consistency = []
             return -1
         # minScore: lowest BoW similarity among covisible neighbors
@@ -243,7 +246,7 @@ class LoopCloser:
             m.bump()
 
         self.loop_edges.append((kf_id, cand))
-        self.last_loop_kf = kf_id
+        self.last_loop_seq = int(m.kf_seq[kf_id])
         self._consistency = []
 
         self.run_pose_graph(fixed_kf=cand)

@@ -231,6 +231,17 @@ class MapArena:
             self._remove_observation(int(obs[s]), k)
         self.kf_obs_pt[k] = -1
         self.kf_valid[k] = False
+        # Re-anchor point ownership: pt_first_kf is used as the pose anchor
+        # when warping points (pose graph / loop correction) — after k's id
+        # is recycled it would alias the new tenant and warp points by an
+        # unrelated delta.  Fall back to the first live observation.
+        owned = np.nonzero(self.pt_first_kf[:self.n_pt] == k)[0]
+        if len(owned):
+            okf = self.pt_obs_kf[owned]
+            live = (okf >= 0) & self.kf_valid[np.clip(okf, 0, None)]
+            has = live.any(1)
+            first = okf[np.arange(len(owned)), np.argmax(live, 1)]
+            self.pt_first_kf[owned] = np.where(has, first, -1)
         self._dirty_kf[k] = True
         self.covis[k, :] = 0
         self.covis[:, k] = 0
@@ -250,8 +261,10 @@ class MapArena:
         for j, (pj, Rj, tj) in list(self.kf_cull_rel.items()):
             if pj == k and j != k:
                 self.kf_cull_rel[j] = (parent, Rj @ Rk, Rj @ tk + tj)
-        del self.kf_cull_rel[k]
-        # 3. the slot is now unreferenced: reclaim it.
+        # 3. reclaim the slot.  kf_cull_rel[k] is KEPT until the slot is
+        #    actually reused (add_keyframe pops it): anchored_pose(k) must
+        #    keep resolving the culled id in the interim — trajectory export
+        #    and tests may query it directly without a removal listener.
         self._free_kf.append(k)
 
     # ------------------------------------------------------------------ #

@@ -74,6 +74,10 @@ class System:
             from .relocalization import Relocalizer
             self.kf_db = KeyFrameDatabase(vocabulary, self.map,
                                           cfg.map.max_keyframes)
+            # Culled KFs must leave the BoW database (KeyFrameDatabase::erase
+            # semantics) or they remain loop/reloc candidates forever and
+            # crowd out real candidates through the 0.75x accumulation gate.
+            self.map.on_keyframe_removed.append(self.kf_db.erase)
             self.relocalizer = Relocalizer(cfg, self.map, self.kf_db)
             from .loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg, self.map, self.kf_db,

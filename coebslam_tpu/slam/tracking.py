@@ -477,18 +477,21 @@ class Tracker:
                 np.zeros(3, np.float32)
         else:
             parent, Rcp, tcp = rel
-        for i, (stamp, ref, R_rel, t_rel, lost) in \
+        pseq = int(self.map.kf_seq[parent])
+        for i, (stamp, ref, _seq, R_rel, t_rel, lost) in \
                 enumerate(self.traj_relative):
             if ref == k:
                 self.traj_relative[i] = (
-                    stamp, parent, R_rel @ Rcp, R_rel @ tcp + t_rel, lost)
+                    stamp, parent, pseq, R_rel @ Rcp, R_rel @ tcp + t_rel,
+                    lost)
         if self.ref_kf == k:
             self.ref_kf = int(parent)
 
     def freeze_trajectory(self) -> None:
         """Bake current map poses into the relative records (called before
         a map reset invalidates the reference keyframes)."""
-        self.traj_relative = [(s, -1, R, t, lost) for (s, R, t), (_, _, _, _, lost)
+        self.traj_relative = [(s, -1, -1, R, t, lost)
+                              for (s, R, t), (_, _, _, _, _, lost)
                               in zip(self.export_trajectory(),
                                      self.traj_relative)]
 
@@ -1152,10 +1155,11 @@ class Tracker:
             R_rel = self.state.pose_R @ Rr.T
             t_rel = self.state.pose_t - R_rel @ tr
             self.traj_relative.append(
-                (stamp, self.ref_kf, R_rel, t_rel, self.state.mode == LOST))
+                (stamp, self.ref_kf, int(self.map.kf_seq[self.ref_kf]),
+                 R_rel, t_rel, self.state.mode == LOST))
         else:
             self.traj_relative.append(
-                (stamp, -1, self.state.pose_R.copy(),
+                (stamp, -1, -1, self.state.pose_R.copy(),
                  self.state.pose_t.copy(), self.state.mode == LOST))
 
     def export_trajectory(self):
@@ -1163,10 +1167,22 @@ class Tracker:
         (System::SaveTrajectoryTUM semantics): loop corrections applied
         after tracking are reflected in every earlier frame."""
         out = []
-        for stamp, ref, R_rel, t_rel, lost in self.traj_relative:
+        for stamp, ref, ref_seq, R_rel, t_rel, lost in self.traj_relative:
             if ref < 0:
                 out.append((stamp, R_rel, t_rel))
                 continue
-            Rr, tr, _ = self.map.anchored_pose(int(ref))
+            if int(self.map.kf_seq[ref]) != ref_seq:
+                # The slot was recycled AND the cull listener never
+                # re-anchored this record — composing against the new
+                # tenant's pose would silently corrupt the trajectory.
+                raise RuntimeError(
+                    f"trajectory record at t={stamp} references keyframe id "
+                    f"{ref} whose slot was recycled (seq {ref_seq} -> "
+                    f"{int(self.map.kf_seq[ref])})")
+            Rr, tr, found = self.map.anchored_pose(int(ref))
+            if not found:
+                raise RuntimeError(
+                    f"trajectory record at t={stamp}: anchor chain for "
+                    f"culled keyframe {ref} could not be resolved")
             out.append((stamp, R_rel @ Rr, R_rel @ tr + t_rel))
         return out
