@@ -147,6 +147,23 @@ class DynamicConfig:
     # (per-frame epipolar evidence is intermittent; movers don't stop being
     # movers between two frames).
     sticky_frames: int = 5
+    # Motion-check backend for the production path:
+    #   "feature" — in-graph: epipolar check over ORB descriptor matches
+    #     between consecutive frames, fused into the per-frame device
+    #     program (TPU-first redesign: the matching is one MXU Hamming
+    #     matmul the pipeline computes anyway, so the motion check adds
+    #     no extra dispatches and no host round trips);
+    #   "flow" — reference-parity: Harris corners + pyramidal LK + F-RANSAC
+    #     as a separate device program (Frame::ProcessMovingObject,
+    #     Frame.cc:311-393).
+    motion_check: str = "feature"
+    # Match window (px) for the feature motion check; wide enough to keep
+    # fast movers matched across one frame interval.
+    match_radius: float = 80.0
+    # Run the detector every k-th frame (boxes propagate in between; the
+    # reference tolerates stale boxes via ApproximateTime sync,
+    # ros_rgbd.cc:73-78).  1 = every frame.
+    detector_cadence: int = 1
 
 
 @dataclass(frozen=True)

@@ -54,11 +54,16 @@ class YoloDetector:
                                     depth_mult=cfg.depth_multiple)
         size = cfg.input_size
         if variables is None:
-            variables = self.model.init(
+            # Jitted init: eager Flax init dispatches hundreds of individual
+            # ops — through the remote-compile relay that is minutes of
+            # compile churn (and it degrades every later dispatch in the
+            # process); one fused init program takes seconds.
+            variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros((1, size, size, 3)))
         self.variables = variables
         self._class_filter = tuple(dyn_cfg.dynamic_classes)
+        self._max_boxes = int(dyn_cfg.max_boxes)
 
         def run(gray):
             h, w = gray.shape
@@ -75,14 +80,29 @@ class YoloDetector:
             scale = jnp.asarray([w / size, h / size, w / size, h / size],
                                 jnp.float32)
             boxes = jnp.where(boxes >= 0, boxes * scale, -1.0)
-            return boxes, scores, classes
+            # Fixed [max_boxes, 4] shape for the fused dynamic step (rows
+            # are score-ordered; overflow truncates, shortfall pads -1).
+            pad = self._max_boxes - boxes.shape[0]
+            if pad > 0:
+                boxes_p = jnp.concatenate(
+                    [boxes, jnp.full((pad, 4), -1.0, jnp.float32)])
+            else:
+                boxes_p = boxes[:self._max_boxes]
+            return boxes, scores, classes, boxes_p
 
         self._jit_run = jax.jit(run)
 
     def detect(self, gray) -> np.ndarray:
-        boxes, scores, classes = self._jit_run(jnp.asarray(gray))
+        boxes, scores, classes, _ = self._jit_run(jnp.asarray(gray))
         b = np.asarray(boxes)
         return b[b[:, 0] >= 0]
+
+    def detect_device(self, gray) -> jnp.ndarray:
+        """Padded [dynamic.max_boxes, 4] pixel boxes, kept ON DEVICE — the
+        fused dynamic tracking step consumes them directly, so a frame with
+        detection costs zero host round trips (the reference pays a full
+        ROS pub/sub hop here, ros_rgbd.cc:73-78)."""
+        return self._jit_run(jnp.asarray(gray))[3]
 
 
 class BlurGate:

@@ -102,6 +102,141 @@ def classify_boxes(outliers, outlier_valid, boxes, box_blurred,
     return present & (tier1 | tier2)
 
 
+# --------------------------------------------------------------------- #
+# In-graph dynamic front-end (production path).
+#
+# TPU-first redesign of the same pipeline: instead of LK flow on Harris
+# corners (a separate device program + host mask round-trip), the motion
+# check rides the ORB descriptors the frame pipeline computes anyway —
+# match the previous frame's keypoints against the current ones (one MXU
+# Hamming matmul), fit F by vmapped RANSAC, and epipolar outliers form
+# T_M.  Classification, blur gating, sticky masking and keypoint culling
+# all happen inside the SAME fused per-frame program, so the dynamic
+# path adds zero dispatches and zero host syncs.  The reference-parity
+# LK path (`dynamic_frontend` above) remains for cfg.dynamic.motion_check
+# == "flow" and for the yolo_v5_blur BlurGate.
+# --------------------------------------------------------------------- #
+
+
+class DynState(NamedTuple):
+    """Device-resident dynamic-front-end state chained across frames."""
+    prev_uv: jnp.ndarray       # [N, 2] previous frame keypoints
+    prev_desc: jnp.ndarray     # [N, 32] packed BRIEF
+    prev_valid: jnp.ndarray    # [N] bool
+    sticky: jnp.ndarray        # [H, W] int32 — frames a pixel stays masked
+    area_flag: jnp.ndarray     # scalar bool — fed to NEXT frame's extractor
+
+
+class DynInfo(NamedTuple):
+    """Per-frame diagnostics (device; fetch only when needed)."""
+    box_dynamic: jnp.ndarray   # [B] bool
+    box_blurred: jnp.ndarray   # [B] bool
+    n_outliers: jnp.ndarray    # int32
+    n_culled: jnp.ndarray      # int32 — keypoints removed this frame
+
+
+def init_dyn_state(cfg: SystemConfig) -> DynState:
+    N = cfg.orb.max_keypoints
+    H, W = cfg.camera.height, cfg.camera.width
+    return DynState(
+        prev_uv=jnp.full((N, 2), -1.0, jnp.float32),
+        prev_desc=jnp.zeros((N, 32), jnp.uint8),
+        prev_valid=jnp.zeros(N, bool),
+        sticky=jnp.zeros((H, W), jnp.int32),
+        area_flag=jnp.bool_(False))
+
+
+def dynamic_step(fd, gray, state: DynState, boxes, key,
+                 cfg: SystemConfig):
+    """In-graph dynamic check + keypoint culling.  Jittable.
+
+    Args:
+      fd: FrameData (extraction already done, pre-cull).
+      gray: [H, W] float32 current frame.
+      state: previous frame's DynState.
+      boxes: [B, 4] padded detector boxes (xmin<0 = absent), device.
+    Returns (fd_culled, spawn_ok [N] bool, new_state, DynInfo).
+    """
+    from ..ops import brief, matching
+
+    dyn = cfg.dynamic
+    h, w = gray.shape
+    feats = fd.feats
+
+    # 1. Correspondences: previous keypoints -> current keypoints.
+    cur_sd = feats.signed_desc()
+    prev_sd = brief.to_signed(brief.unpack_bits(state.prev_desc))
+    d = matching.hamming_matrix(prev_sd, cur_sd)
+    du = jnp.abs(state.prev_uv[:, None, 0] - feats.uv[None, :, 0])
+    dv = jnp.abs(state.prev_uv[:, None, 1] - feats.uv[None, :, 1])
+    r = dyn.match_radius
+    d = d + jnp.where((du <= r) & (dv <= r), 0.0, matching.BIG)
+    res = matching.match(d, max_distance=cfg.matcher.th_high,
+                         ratio=cfg.matcher.nn_ratio_tracking, mutual=True,
+                         row_valid=state.prev_valid, col_valid=feats.valid)
+    p_prev = state.prev_uv
+    p_cur = feats.uv[jnp.clip(res.idx, 0)]
+    good = res.valid
+
+    # 2. F-RANSAC -> epipolar outliers (T_M); same gates as the LK path.
+    fres = fundamental.find_fundamental_ransac(
+        p_prev, p_cur, good, key,
+        n_hypotheses=dyn.f_ransac_iters, threshold=dyn.f_ransac_threshold)
+    dist = fundamental.epipolar_distance(fres.F, p_prev, p_cur)
+    # Guard: with very few matches (startup, heavy blur) F is meaningless —
+    # require a minimally constrained fit before declaring outliers.
+    enough = good.sum() >= 24
+    t_m = good & (dist > dyn.epipolar_threshold) & enough
+
+    # 3. Blur gate + two-tier classification.
+    scores = blur_ops.box_blur_scores(gray, boxes, metric="laplacian")
+    box_blurred = scores < dyn.blur_threshold
+    box_dynamic = classify_boxes(p_cur, t_m, boxes, box_blurred, cfg)
+
+    # 4. Sticky mask update: dynamic boxes mask for sticky_frames frames.
+    masks = blur_ops._box_mask(h, w, boxes)
+    dyn_mask = jnp.any(masks & box_dynamic[:, None, None], axis=0)
+    sticky = jnp.where(dyn_mask, jnp.int32(max(dyn.sticky_frames, 1)),
+                       jnp.maximum(state.sticky - 1, 0))
+    active = sticky > 0
+    area_flag = active.sum() > dyn.masked_area_limit * (h * w) / (480.0 * 640.0)
+
+    # 5. Cull keypoints inside the active mask (post-distribution culling,
+    # the reference's default mode — CheckMovingKeyPoints_finall,
+    # ORBextractor.cc:1371-1408).  Pre-selection culling and the raised
+    # thresholds of area mode are applied by the NEXT frame's extractor via
+    # state.area_flag / sticky (one-frame lag, the same staleness the
+    # reference tolerates from ApproximateTime box sync).
+    u = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, w - 1)
+    v = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, h - 1)
+    hit = active[v, u] & feats.valid
+    new_valid = feats.valid & ~hit
+    fd_culled = fd._replace(feats=feats._replace(
+        valid=new_valid,
+        uv=jnp.where(new_valid[:, None], feats.uv, -1.0)))
+
+    # 6. Spawn gating: never CREATE landmarks inside ANY detector box
+    # (config extension dyn.spawn_in_boxes=False).
+    present = boxes[:, 0] >= 0
+    in_box = ((feats.uv[:, None, 0] >= boxes[None, :, 0])
+              & (feats.uv[:, None, 0] <= boxes[None, :, 2])
+              & (feats.uv[:, None, 1] >= boxes[None, :, 1])
+              & (feats.uv[:, None, 1] <= boxes[None, :, 3])
+              & present[None, :])
+    spawn_ok = ~jnp.any(in_box, axis=1) if not dyn.spawn_in_boxes \
+        else jnp.ones(feats.uv.shape[0], bool)
+
+    # 7. Next-frame state: the PRE-cull feature set (movers must stay
+    # matchable or the epipolar evidence disappears after one masked frame).
+    new_state = DynState(prev_uv=feats.uv, prev_desc=feats.desc,
+                         prev_valid=feats.valid, sticky=sticky,
+                         area_flag=area_flag)
+    info = DynInfo(box_dynamic=box_dynamic, box_blurred=box_blurred,
+                   n_outliers=t_m.sum().astype(jnp.int32),
+                   n_culled=hit.sum().astype(jnp.int32))
+    return fd_culled, spawn_ok, new_state, info
+
+
 def dynamic_frontend(prev_gray, gray, boxes, key,
                      cfg: SystemConfig) -> DynamicResult:
     """Full per-frame dynamic pipeline.  Jittable; boxes padded [B, 4]."""

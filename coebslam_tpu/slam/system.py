@@ -93,6 +93,7 @@ class System:
 
             self.tracker.reloc_fn = reloc_fn
         self._prev_gray: Optional[jnp.ndarray] = None
+        self._boxes_dev: Optional[jnp.ndarray] = None
         self._frame_count = 0
         self._rng = jax.random.PRNGKey(0)
         self._recent_masks: List[np.ndarray] = []
@@ -135,8 +136,24 @@ class System:
         mask = None
         area_mode = False
         spawn_mask = None
+        boxes_dev = None
 
-        if self.cfg.use_dynamic_filtering:
+        if self.cfg.use_dynamic_filtering \
+                and self.cfg.dynamic.motion_check == "feature":
+            # Production path: boxes stay on device; motion check, box
+            # classification and keypoint culling run INSIDE the fused
+            # per-frame program (slam/dynamic.dynamic_step).
+            boxes_dev = self._device_boxes(gray, boxes)
+            if boxes_dev is not None \
+                    and self.tracker.state.mode == NOT_INITIALIZED:
+                # Conservative initialization: treat every detector box as
+                # dynamic until flow/epipolar evidence exists (see the
+                # "flow"-path comment below) — host mask, init only.
+                b = np.asarray(jax.device_get(boxes_dev))
+                h, w = np.asarray(gray.shape)
+                mask = _np_box_mask(int(h), int(w), b)
+                boxes_dev = None
+        elif self.cfg.use_dynamic_filtering:
             if boxes is None and self.detector is not None:
                 boxes = self.detector.detect(gray)
             h, w = np.asarray(gray.shape)
@@ -155,7 +172,7 @@ class System:
                 # One bundled fetch: mask + area flag together.
                 mask, area_flag = jax.device_get((dres.mask, dres.area_flag))
                 area_mode = bool(area_flag)
-                self.last_dynamic = dres
+                self._last_dynamic = dres
                 # Sticky masking: movers stay masked for a few frames even
                 # when per-frame epipolar evidence is intermittent.
                 if self.cfg.dynamic.sticky_frames > 0:
@@ -179,7 +196,8 @@ class System:
         t0 = _time.perf_counter()
         state, n = self.tracker.process_frame(
             gray, jnp.asarray(depth), stamp,
-            dynamic_mask=mask, area_mode=area_mode, spawn_mask=spawn_mask)
+            dynamic_mask=mask, area_mode=area_mode, spawn_mask=spawn_mask,
+            boxes_dev=boxes_dev)
         self.metrics.record(
             frame=self._frame_count, stamp=stamp, state=state, n_inliers=n,
             n_map_points=len(self.map.valid_points()),
@@ -209,7 +227,7 @@ class System:
                 self._rng, key = jax.random.split(self._rng)
                 dres = self._jit_dynamic(self._prev_gray, gray, padded, key)
                 mask = dres.mask
-                self.last_dynamic = dres
+                self._last_dynamic = dres
         state, n = self.tracker.process_frame(gray, None, stamp,
                                               dynamic_mask=mask)
         self._prev_gray = gray
@@ -232,6 +250,47 @@ class System:
         return state, n
 
     # ------------------------------------------------------------------ #
+
+    @property
+    def last_dynamic(self):
+        """Most recent dynamic-front-end result, path-independent: the
+        flow path stores its DynamicResult; the fused feature path exposes
+        the tracker's in-graph DynInfo + sticky mask under the same names
+        (fetched lazily — reading this costs a device round trip)."""
+        flow = getattr(self, "_last_dynamic", None)
+        if flow is not None:
+            return flow
+        tr = self.tracker
+        if tr.last_dyn_info is None or tr._dyn_state is None:
+            return None
+        from types import SimpleNamespace
+        info = tr.last_dyn_info
+        return SimpleNamespace(
+            box_dynamic=np.asarray(info.box_dynamic),
+            box_blurred=np.asarray(info.box_blurred),
+            n_outliers=int(info.n_outliers),
+            n_culled=int(info.n_culled),
+            mask=np.asarray(tr._dyn_state.sticky) > 0)
+
+    def _device_boxes(self, gray, boxes) -> Optional[jnp.ndarray]:
+        """Detector boxes as a fixed-shape [max_boxes, 4] DEVICE array.
+
+        Explicit per-frame boxes win; otherwise the detector runs every
+        cfg.dynamic.detector_cadence frames and its (device) output is
+        reused in between — the reference tolerates exactly this staleness
+        through ApproximateTime sync (ros_rgbd.cc:73-78)."""
+        if boxes is not None:
+            return jnp.asarray(self._pad_boxes(boxes))
+        if self.detector is None:
+            return None
+        cad = max(1, self.cfg.dynamic.detector_cadence)
+        if self._frame_count % cad == 0 or self._boxes_dev is None:
+            if hasattr(self.detector, "detect_device"):
+                self._boxes_dev = self.detector.detect_device(gray)
+            else:
+                self._boxes_dev = jnp.asarray(
+                    self._pad_boxes(self.detector.detect(gray)))
+        return self._boxes_dev
 
     def activate_localization_mode(self) -> None:
         """Stop mapping; track against the frozen map

@@ -41,6 +41,7 @@ from ..geometry import se3
 from ..geometry.se3 import SE3
 from ..optim import pose_gn
 from ..ops import brief, matching
+from . import dynamic as dynamic_mod
 from . import frame as frame_mod
 from .frame import FrameData
 from .map import MapArena
@@ -366,6 +367,7 @@ class _FrameCtx:
     stamp: float
     local_ids: np.ndarray      # host copy of the local-map candidate ids
     spawn_mask: Optional[np.ndarray]
+    spawn_ok: Optional[jnp.ndarray] = None   # [N] device bool (dyn path)
     corr_R: Optional[np.ndarray] = None
     corr_t: Optional[np.ndarray] = None
 
@@ -441,9 +443,27 @@ class Tracker:
                                           cfg.camera, cfg.orb, n_features=n)
             return fused_step(fd, st, lids, lval, arena, gate, cfg)
 
+        def step_rgbd_dyn(g, d, n, st, dynst, boxes, seed, lids, lval,
+                          arena, gate):
+            """Fully fused dynamic-path frame: extraction (masked by the
+            previous frame's sticky mask / area flag), in-graph motion
+            check + box classification + keypoint culling, then the
+            standard tracking tail — one device program, zero host syncs
+            (the COEB per-frame workload of SURVEY §3.1)."""
+            g, dimg = _cast(g, d)
+            fd = frame_mod.process_rgbd(
+                g, dimg, cfg.camera, cfg.orb, n_features=n,
+                dynamic_mask=dynst.sticky > 0, area_mode=dynst.area_flag)
+            key = jax.random.PRNGKey(seed)
+            fd2, spawn_ok, dynst2, info = dynamic_mod.dynamic_step(
+                fd, g, dynst, boxes, key, cfg)
+            out = fused_step(fd2, st, lids, lval, arena, gate, cfg)
+            return out, spawn_ok, dynst2, info
+
         self._jit_step = jax.jit(step_rgbd)
         self._jit_step_masked = jax.jit(step_rgbd_masked)
         self._jit_step_stereo = jax.jit(step_stereo)
+        self._jit_step_dyn = jax.jit(step_rgbd_dyn)
         # The map's point arrays live device-resident with incremental row
         # sync (map_device.py); per-call traffic is the candidate id list
         # plus changed rows only.
@@ -453,6 +473,9 @@ class Tracker:
                        pn[ids], pmin[ids], pmax[ids], r, cfg))
 
         self._dev_state: Optional[DevTrackState] = None
+        self._dyn_state: Optional[dynamic_mod.DynState] = None
+        self.last_dyn_info = None     # device DynInfo of the newest frame
+        self._dyn_seed = 0
         self._local_np = np.full(LOCAL_MAP_CAP, -1, np.int32)
         self._local_dev = None
         self._local_version = (-1, -1)     # (ref_kf, map.version)
@@ -502,6 +525,7 @@ class Tracker:
         self._last_frame = None
         self._last_pids = None
         self._dev_state = None
+        self._dyn_state = None
         self._local_dev = None
         self._local_version = (-1, -1)
         self._mono_ref = None
@@ -533,13 +557,16 @@ class Tracker:
 
     def process_frame(self, gray, depth, stamp: float,
                       dynamic_mask=None, area_mode: bool = False,
-                      spawn_mask=None):
+                      spawn_mask=None, boxes_dev=None):
         """Track one frame.  Returns (state_str, n_inliers).
 
         ``depth``: [H, W] metres (or raw uint16, scaled in-graph) for RGB-D;
         pass None for monocular.
         ``spawn_mask``: optional [H, W] bool — regions where map points must
         not be CREATED (keypoints there may still match existing points).
+        ``boxes_dev``: optional [B, 4] device array of detector boxes —
+        selects the fully fused dynamic path (in-graph motion check +
+        classification + culling; cfg.dynamic.motion_check == "feature").
 
         In pipelined mode the returned tuple describes frame i-1 (the
         newest finalized frame); call ``flush()`` after the last frame.
@@ -565,7 +592,7 @@ class Tracker:
             return self.state.mode, n
 
         ctx = self._dispatch(gray, depth, budget, stamp, spawn,
-                             dynamic_mask, area_mode)
+                             dynamic_mask, area_mode, boxes_dev)
         return self._advance(ctx)
 
     def process_frame_stereo(self, gray_left, gray_right, stamp: float):
@@ -599,13 +626,24 @@ class Tracker:
         return jnp.float32(s)
 
     def _dispatch(self, gray, depth, budget, stamp, spawn_mask,
-                  dynamic_mask, area_mode) -> _FrameCtx:
+                  dynamic_mask, area_mode, boxes_dev=None) -> _FrameCtx:
         self._ensure_state()
         lids, lval = self._refresh_local_map()
         arena = self._device_map()
         gate = self._gate_scale()
         dep = depth if depth is not None \
             else np.zeros(np.asarray(gray).shape, np.float32)
+        if boxes_dev is not None:
+            if self._dyn_state is None:
+                self._dyn_state = dynamic_mod.init_dyn_state(self.cfg)
+            self._dyn_seed += 1
+            out, spawn_ok, self._dyn_state, self.last_dyn_info = \
+                self._jit_step_dyn(gray, dep, budget, self._dev_state,
+                                   self._dyn_state, boxes_dev,
+                                   jnp.uint32(self._dyn_seed),
+                                   lids, lval, arena, gate)
+            return self._post_dispatch(out, stamp, spawn_mask,
+                                       spawn_ok=spawn_ok)
         if dynamic_mask is not None:
             out = self._jit_step_masked(gray, dep, budget, self._dev_state,
                                         lids, lval, arena, gate,
@@ -616,7 +654,8 @@ class Tracker:
                                  lids, lval, arena, gate)
         return self._post_dispatch(out, stamp, spawn_mask)
 
-    def _post_dispatch(self, out: StepOut, stamp, spawn_mask) -> _FrameCtx:
+    def _post_dispatch(self, out: StepOut, stamp, spawn_mask,
+                       spawn_ok=None) -> _FrameCtx:
         self._dev_state = out.state
         # Start moving the decision scalars to the host while the device
         # (or the next frame) runs.
@@ -626,7 +665,7 @@ class Tracker:
             except AttributeError:      # older jax Array types
                 break
         return _FrameCtx(out=out, stamp=stamp, local_ids=self._local_np,
-                         spawn_mask=spawn_mask)
+                         spawn_mask=spawn_mask, spawn_ok=spawn_ok)
 
     def _advance(self, ctx: _FrameCtx):
         """Finalize either this frame (sync) or the previous one (pipelined)."""
@@ -771,6 +810,8 @@ class Tracker:
             rec = self._fetched_record(jax.device_get(ctx.out.fd))
             rec = rec._replace(point_ids=pids)
             self._spawn_mask = ctx.spawn_mask
+            self._spawn_vec = None if ctx.spawn_ok is None \
+                else np.asarray(jax.device_get(ctx.spawn_ok))
             self._create_keyframe(rec, ctx.stamp, fd_dev=ctx.out.fd)
             st.peak_inliers_since_kf = n_inliers
         self._record_pose(ctx.stamp)
@@ -1043,6 +1084,9 @@ class Tracker:
         cam = self.cfg.camera
         spawn = rec.valid & (rec.point_ids < 0) & (rec.depth > 0) \
             & ~self._in_spawn_mask(rec)
+        vec = getattr(self, "_spawn_vec", None)
+        if vec is not None:
+            spawn &= vec
         # Reference: create all closer than thDepth, else closest 100.
         close = spawn & (rec.depth < cam.depth_threshold)
         if close.sum() < 100:
