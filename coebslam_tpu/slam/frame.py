@@ -102,11 +102,19 @@ def process_rgbd(
       gray: [H, W] float32 in [0, 255].
       depth_img: [H, W] float32 metres (already divided by DepthMapFactor).
     """
+    from ..geometry import camera as cam_ops
+
     feats = extractor.extract(gray, orb, n_features=n_features,
                               dynamic_mask=dynamic_mask, area_mode=area_mode)
+    # Depth lookup at the RAW pixel position (the depth map is registered to
+    # the distorted image), geometry with UNDISTORTED coordinates — the
+    # reference keeps mvKeys for image indexing and mvKeysUn for everything
+    # geometric (Frame::UndistortKeyPoints, Frame.cc:579; lookup at :820).
     u = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, cam.width - 1)
     v = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, cam.height - 1)
     d = depth_img[v, u]
+    uv_un = cam_ops.undistort_points(cam, feats.uv)   # identity when k=p=0
+    feats = feats._replace(uv=jnp.where(feats.valid[:, None], uv_un, -1.0))
     has_depth = feats.valid & (d > 0.0)
     d = jnp.where(has_depth, d, 0.0)
     ur = jnp.where(has_depth, feats.uv[:, 0] - cam.bf / jnp.where(d > 0, d, 1.0),
