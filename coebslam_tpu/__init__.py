@@ -36,9 +36,17 @@ def _enable_compilation_cache() -> None:
 
     if os.environ.get("COEBSLAM_NO_CACHE"):
         return
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # CPU-only processes (tests, render helpers) must not share the
+        # cache: XLA:CPU AOT entries bake in host machine features and can
+        # SIGILL when loaded on a different host; CPU compiles are fast
+        # anyway.  The cache exists for the remote-TPU compile relay.
+        return
     try:
         import jax
 
+        if (jax.config.jax_platforms or "").lower().startswith("cpu"):
+            return   # set programmatically (render helpers) — same reason
         path = os.environ.get("COEBSLAM_CACHE_DIR",
                               os.path.expanduser("~/.cache/coebslam_xla"))
         os.makedirs(path, exist_ok=True)

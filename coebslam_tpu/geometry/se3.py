@@ -85,9 +85,16 @@ def log(T: SE3):
 
 def retract(T: SE3, xi) -> SE3:
     """Left-multiplicative retraction: exp(xi) * T (the g2o oplus for
-    VertexSE3Expmap, which the reference's PoseOptimization relies on)."""
+    VertexSE3Expmap, which the reference's PoseOptimization relies on).
+
+    The result is re-projected onto SO(3): solver loops retract tens of
+    times per frame and f32 rotation products drift off the manifold —
+    det(R) error compounds and eventually corrupts loop-closure composes.
+    """
+    from . import so3
     dT = exp(xi)
-    return dT.compose(T)
+    out = dT.compose(T)
+    return SE3(so3.orthonormalize(out.R), out.t)
 
 
 def transform_points(T: SE3, pts):

@@ -179,6 +179,21 @@ def matrix_to_quat(R):
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
+def orthonormalize(R, iterations: int = 2):
+    """Project a near-rotation back onto SO(3) by Newton polar iteration:
+    R <- 1.5 R - 0.5 R R^T R (quadratic convergence for small drift).
+
+    The per-frame pose chaining composes hundreds of f32 3x3 products; the
+    accumulated scale drift (det != 1) is invisible to the solvers until a
+    loop correction multiplies the drifted rotations together — so every
+    pose-producing path re-projects.  Cheap (two 3x3 matmuls per iteration),
+    differentiable, no SVD.
+    """
+    for _ in range(iterations):
+        R = 1.5 * R - 0.5 * R @ jnp.swapaxes(R, -1, -2) @ R
+    return R
+
+
 def normalize_matrix(R):
     """Re-orthonormalize a drifting rotation matrix via SVD projection."""
     u, _, vt = jnp.linalg.svd(R)

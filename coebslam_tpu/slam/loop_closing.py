@@ -174,6 +174,9 @@ class LoopCloser:
         nbr = np.concatenate([[cand], m.best_covisible(cand, 10)])
         nbr_pts = m.local_map_points(nbr, 4096)
         nbr_pts = nbr_pts[nbr_pts >= 0]
+        # Stashed for CorrectLoop's SearchAndFuse (the reference's
+        # mvpLoopMapPoints, LoopClosing.cc:373-380).
+        self._loop_pts = nbr_pts.copy()
         S1w = opt.S12.compose(Sim3.from_se3(T2.R, T2.t))   # corrected S_cw
         Xn_w = jnp.asarray(m.pt_pos[nbr_pts])
         pn_c1 = S1w.apply(Xn_w)
@@ -231,7 +234,10 @@ class LoopCloser:
         moved: Set[int] = set()
         for k, (T_k, S_new) in corrections.items():
             mtx = np.asarray(S_new.to_se3_matrix())
-            m.set_keyframe_pose(k, mtx[:3, :3], mtx[:3, 3])
+            Rn = mtx[:3, :3]
+            for _ in range(2):          # polar re-projection onto SO(3)
+                Rn = 1.5 * Rn - 0.5 * Rn @ Rn.T @ Rn
+            m.set_keyframe_pose(k, Rn, mtx[:3, 3])
             obs = m.kf_obs_pt[k]
             pids = obs[obs >= 0]
             pids = pids[m.pt_valid[pids]]
@@ -249,6 +255,23 @@ class LoopCloser:
         self.last_loop_seq = int(m.kf_seq[kf_id])
         self._consistency = []
 
+        # SearchAndFuse (LoopClosing.cc:521-543, 588-614): project the loop
+        # neighborhood's map points into every corrected keyframe and fuse
+        # duplicated landmarks; the covisibility links this creates across
+        # the loop ("fused connections", LoopClosing.cc:546-568) become
+        # extra essential-graph edges.
+        group_ids = [int(k) for k in group]
+        pre_nbrs = {k: set(int(j) for j in m.covisible_keyframes(k, 1))
+                    for k in group_ids}
+        self._search_and_fuse(group_ids)
+        fused = []
+        group_set = set(group_ids)
+        for k in group_ids:
+            post = set(int(j) for j in m.covisible_keyframes(k, 1))
+            for j in post - pre_nbrs[k] - group_set:
+                fused.append((k, j))
+        self._fused_edges = fused
+
         self.run_pose_graph(fixed_kf=cand)
         # Full global BA after the essential-graph solve, exactly like the
         # reference's RunGlobalBundleAdjustment (LoopClosing.cc:576-580,
@@ -264,6 +287,98 @@ class LoopCloser:
         self._global_ba.run(self.map, fixed_kf=cand)
 
     # ------------------------------------------------------------------ #
+
+    def _search_and_fuse(self, group_ids) -> None:
+        """Project the stashed loop map points into each corrected-group KF
+        (matcher::Fuse with the corrected pose, LoopClosing.cc:521-543):
+        a keypoint that already observes a landmark gets it REPLACED by the
+        loop point (the older, loop-side landmark wins — MapPoint::Replace
+        semantics at :604-607); a free keypoint gains an observation.
+
+        One vmapped device program over the group; host writeback touches
+        only actual hits."""
+        m = self.map
+        cfg = self.cfg
+        loop_pts = getattr(self, "_loop_pts", None)
+        if loop_pts is None or len(loop_pts) == 0 or len(group_ids) == 0:
+            return
+        loop_pts = loop_pts[m.pt_valid[loop_pts]]
+        if len(loop_pts) == 0:
+            return
+
+        if not hasattr(self, "_jit_saf"):
+            cam = cfg.camera
+            th_low = cfg.matcher.th_low
+
+            def saf(pts, kf_feats, kf_poses, pt_ids, pt_valid, kf_idx):
+                pos_a, sd_a = pts[0], pts[1]
+                uv_a, desc_a, _, _, val_a = kf_feats
+                R_a, t_a = kf_poses
+                pos = pos_a[pt_ids]
+                sd = sd_a[pt_ids]
+
+                def one(k):
+                    R, t = R_a[k], t_a[k]
+                    pc = pos @ R.T + t
+                    z = jnp.maximum(pc[:, 2], 1e-6)
+                    u = cam.fx * pc[:, 0] / z + cam.cx
+                    v = cam.fy * pc[:, 1] / z + cam.cy
+                    vis = pt_valid & (pc[:, 2] > 0.05) & (u >= 0) \
+                        & (u < cam.width) & (v >= 0) & (v < cam.height)
+                    nb_sd = brief.to_signed(brief.unpack_bits(desc_a[k]))
+                    ham = matching.hamming_matrix(sd, nb_sd)
+                    # Fuse radius 4 px (LoopClosing.cc:540 th=4).
+                    close = (jnp.abs(uv_a[k][None, :, 0] - u[:, None]) <= 4.0) \
+                        & (jnp.abs(uv_a[k][None, :, 1] - v[:, None]) <= 4.0) \
+                        & val_a[k][None, :]
+                    ham = jnp.where(close, ham, 1e9)
+                    slot = jnp.argmin(ham, 1).astype(jnp.int32)
+                    hit = vis & (jnp.min(ham, 1) <= th_low)
+                    return jnp.where(hit, slot, -1)
+
+                return jax.vmap(one)(kf_idx)
+
+            self._jit_saf = jax.jit(saf)
+
+        P = 4096
+        pt_ids = np.zeros(P, np.int32)
+        n = min(len(loop_pts), P)
+        pt_ids[:n] = loop_pts[:n]
+        pt_valid = np.zeros(P, bool)
+        pt_valid[:n] = True
+        from . import map_device
+        dm = map_device.sync(m, cfg)
+        slots = np.asarray(jax.device_get(self._jit_saf(
+            dm.points, dm.kf_feats, dm.kf_poses,
+            jnp.asarray(pt_ids), jnp.asarray(pt_valid),
+            jnp.asarray(np.asarray(group_ids, np.int32)))))
+
+        for b, k in enumerate(group_ids):
+            hits = np.nonzero(slots[b][:n] >= 0)[0]
+            if len(hits) == 0:
+                continue
+            # One keypoint slot can win several loop points: keep the first
+            # (hits iterate in loop-point order, mirroring the reference's
+            # sequential Fuse).
+            seen = set()
+            for i in hits:
+                lp = int(pt_ids[i])
+                s = int(slots[b][i])
+                if s in seen or not m.pt_valid[lp]:
+                    continue
+                seen.add(s)
+                cur = int(m.kf_obs_pt[k, s])
+                if cur == lp:
+                    continue
+                if cur >= 0 and m.pt_valid[cur]:
+                    # Duplicate landmark across the loop: loop point wins.
+                    m.replace_point(cur, lp)
+                elif not (m.pt_obs_kf[lp] == k).any():
+                    m.kf_obs_pt[k, s] = lp
+                    m._add_observation(lp, k, s)
+        for k in group_ids:
+            m.update_covisibility(k)
+        m.bump()
 
     def run_pose_graph(self, fixed_kf: int) -> None:
         """Build + solve the essential graph over all valid keyframes."""
@@ -287,8 +402,14 @@ class LoopCloser:
                             >= cfg.loop.essential_graph_min_covis)
         edges_i += ii.tolist()
         edges_j += jj.tolist()
-        # Loop edges.
-        for a, b in self.loop_edges:
+        # Loop edges + fused cross-loop connections (SearchAndFuse output):
+        # both are measured from the CORRECTED poses below — they encode
+        # the closure, not the drift (LoopConnections at LoopClosing.cc:568).
+        fresh = [e for e in getattr(self, "_fused_edges", [])
+                 if m.kf_valid[e[0]] and m.kf_valid[e[1]]]
+        fresh += [e for e in self.loop_edges
+                  if m.kf_valid[e[0]] and m.kf_valid[e[1]]]
+        for a, b in fresh:
             edges_i.append(int(a))
             edges_j.append(int(b))
 
@@ -297,7 +418,7 @@ class LoopCloser:
             return
         ei = np.asarray(edges_i, np.int32)
         ej = np.asarray(edges_j, np.int32)
-        n_loop = len(self.loop_edges)
+        n_loop = len(fresh)
         # Non-loop edges: measured from the PRE-correction snapshot (drifted
         # but internally consistent); loop edges: from the corrected poses.
         # This is what makes the graph distribute the loop correction.
@@ -332,6 +453,11 @@ class LoopCloser:
 
         # Recover SE3 poses and remap points through their first-observing KF.
         new_R = np.asarray(out.R)
+        # Newton polar re-projection (see geometry.so3.orthonormalize): the
+        # scan of Sim3 composes leaves small manifold drift.
+        for _ in range(2):
+            new_R = 1.5 * new_R \
+                - 0.5 * new_R @ new_R.transpose(0, 2, 1) @ new_R
         new_t = np.asarray(out.t) / np.asarray(out.s)[:, None]
         old_R = m.kf_R[:K].copy()
         old_t = m.kf_t[:K].copy()

@@ -278,10 +278,16 @@ def fused_step(fd: FrameData, state: DevTrackState, local_ids, local_valid,
           & (ang <= t_cfg.max_rotation_per_frame * gate_scale))
 
     new_pose = _select(ok, final.pose, pose_last)
+    # Re-project onto SO(3): the state chains hundreds of f32 rotation
+    # products across frames; without this the live pose's determinant
+    # drifts (~1e-3/frame compounds) and gets baked into keyframes.
+    from ..geometry import so3 as so3_mod
+    new_pose = SE3(so3_mod.orthonormalize(new_pose.R), new_pose.t)
     # Velocity only valid when both this and the previous frame tracked
     # (after an outage the quotient is not a per-frame velocity).
     vel_ok = ok & state.ok
-    new_vR = jnp.where(vel_ok, d.R, jnp.eye(3, dtype=d.R.dtype))
+    new_vR = jnp.where(vel_ok, so3_mod.orthonormalize(d.R),
+                       jnp.eye(3, dtype=d.R.dtype))
     new_vt = jnp.where(vel_ok, d.t, jnp.zeros_like(d.t))
 
     pids_frame = jnp.where(final.point_idx >= 0,
