@@ -47,8 +47,8 @@ def save_map(path: str, arena: MapArena, tracker_state=None,
         data["tk_budget"] = np.asarray(tracker_state.budget)
     if kf_db is not None:
         data["db_words"] = kf_db.kf_words
-        data["db_groups"] = kf_db.kf_groups
-        data["db_bow"] = kf_db.kf_bow
+        data["db_bow_words"] = kf_db.kf_bow_words
+        data["db_bow_vals"] = kf_db.kf_bow_vals
         data["db_registered"] = kf_db.registered
     np.savez_compressed(path, **data)
 
@@ -77,8 +77,8 @@ def load_map(path: str, cfg: SystemConfig, kf_db=None) -> MapArena:
                                   z["cull_R"], z["cull_t"])}
     if kf_db is not None and "db_words" in z:
         kf_db.kf_words = z["db_words"].copy()
-        kf_db.kf_groups = z["db_groups"].copy()
-        kf_db.kf_bow = z["db_bow"].copy()
+        kf_db.kf_bow_words = z["db_bow_words"].copy()
+        kf_db.kf_bow_vals = z["db_bow_vals"].copy()
         kf_db.registered = z["db_registered"].copy()
     return arena
 

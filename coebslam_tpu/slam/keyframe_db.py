@@ -1,18 +1,31 @@
-"""Keyframe database: BoW inverted file + loop / relocalization retrieval.
+"""Keyframe database: sparse BoW rows + loop / relocalization retrieval.
 
 Replaces `KeyFrameDatabase` (KeyFrameDatabase.cc:33-309, SURVEY §2.1): the
-inverted file ``word -> keyframes`` plus the two retrieval procedures —
-``DetectLoopCandidates`` (shared-word counting, >= 0.8x max-common-words
-gate, covisibility-group score accumulation, 0.75x best retention) and
-``DetectRelocalizationCandidates`` (same without the min-score floor).
+inverted-file retrieval semantics — ``DetectLoopCandidates`` (shared-word
+counting, >= 0.8x max-common-words gate, covisibility-group score
+accumulation, 0.75x best retention) and ``DetectRelocalizationCandidates``
+(same without the min-score floor).
 
-Host-side: the structure is a dense [K, n_words] sparse-ish boolean
-storage via per-KF word-id arrays; the shared-word count across all KFs is
-one vectorized bincount-style pass — no per-word list walking.
+Storage is SPARSE per keyframe: (word id, tf-idf weight) pairs padded to
+the keypoint capacity — database memory is O(K * n_keypoints), independent
+of vocabulary size, so a 10^5-10^6-leaf production vocabulary costs the
+same as a toy one (the round-2 dense [K, n_words] layout needed 2 GB at
+10^6 words).  Shared-word counting uses one O(n_words) boolean scratch per
+query (the vectorized equivalent of walking DBoW2's inverted file,
+KeyFrameDatabase.cc:33-46); scoring touches only each candidate's stored
+words via the identity  1 - 0.5*|q - v|_1 = sum_common 0.5*(|q|+|v|-|q-v|)
+for L1-normalized vectors.
+
+The reference also stores a per-keyframe feature-group vector (4-levels-up
+tree nodes) to gate descriptor matching (Frame.cc:575).  That is dead
+weight here by design: matching runs as one MXU Hamming matmul over all
+pairs, which is faster on TPU than any host-side group gating — the
+vocabulary still exposes groups (vocabulary.transform) for callers that
+want them.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -24,19 +37,38 @@ class KeyFrameDatabase:
     def __init__(self, voc: Vocabulary, arena: MapArena, max_kf: int):
         self.voc = voc
         self.map = arena
-        # word ids per keyframe slot ([K, N] int32, -1 invalid).
-        self.kf_words = np.full((max_kf, arena.kf_uv.shape[1]), -1, np.int32)
-        # L1-normalized tf-idf BoW vectors per KF.
-        self.kf_bow = np.zeros((max_kf, voc.n_words), np.float32)
-        # group-node ids per keyframe slot (feature grouping for matching).
-        self.kf_groups = np.full((max_kf, arena.kf_uv.shape[1]), -1, np.int32)
+        W = arena.kf_uv.shape[1]
+        # word ids per keyframe keypoint slot ([K, N] int32, -1 invalid).
+        self.kf_words = np.full((max_kf, W), -1, np.int32)
+        # Sparse L1-normalized tf-idf rows: sorted distinct word ids + weights.
+        self.kf_bow_words = np.full((max_kf, W), -1, np.int32)
+        self.kf_bow_vals = np.zeros((max_kf, W), np.float32)
         self.registered = np.zeros(max_kf, bool)
+        self._scratch = np.zeros(voc.n_words + 1, np.float32)
 
-    def add(self, kf_id: int, words: np.ndarray, groups: np.ndarray,
-            bow: np.ndarray) -> None:
+    # ------------------------------------------------------------------ #
+
+    def sparse_bow(self, words: np.ndarray):
+        """Distinct (word, weight) pairs from per-keypoint word ids,
+        tf-idf weighted and L1-normalized."""
+        w = words[words >= 0]
+        uniq, counts = np.unique(w, return_counts=True)
+        vals = counts.astype(np.float32) * self.voc.word_weight[uniq]
+        norm = max(float(vals.sum()), 1e-9)
+        return uniq.astype(np.int32), vals / norm
+
+    def add(self, kf_id: int, words: np.ndarray,
+            groups: Optional[np.ndarray] = None,
+            bow: Optional[np.ndarray] = None) -> None:
+        """Register a keyframe from its per-keypoint word ids (``groups`` /
+        ``bow`` accepted for backward compatibility, unused)."""
         self.kf_words[kf_id] = words
-        self.kf_groups[kf_id] = groups
-        self.kf_bow[kf_id] = bow
+        uniq, vals = self.sparse_bow(words)
+        n = min(len(uniq), self.kf_bow_words.shape[1])
+        self.kf_bow_words[kf_id] = -1
+        self.kf_bow_vals[kf_id] = 0.0
+        self.kf_bow_words[kf_id, :n] = uniq[:n]
+        self.kf_bow_vals[kf_id, :n] = vals[:n]
         self.registered[kf_id] = True
 
     def erase(self, kf_id: int) -> None:
@@ -44,9 +76,30 @@ class KeyFrameDatabase:
 
     # ------------------------------------------------------------------ #
 
+    def score(self, q_words: np.ndarray, q_vals: np.ndarray,
+              kf_ids) -> np.ndarray:
+        """L1 similarity of a sparse query against stored rows:
+        sum over common words of 0.5*(|q| + |v| - |q - v|)."""
+        kf_ids = np.atleast_1d(np.asarray(kf_ids, np.int64))
+        scratch = self._scratch
+        scratch[q_words] = q_vals
+        vw = self.kf_bow_words[kf_ids]
+        vv = self.kf_bow_vals[kf_ids]
+        qv = scratch[np.clip(vw, 0, None)] * (vw >= 0)
+        s = 0.5 * (np.abs(qv) + np.abs(vv) - np.abs(qv - vv)).sum(1)
+        scratch[q_words] = 0.0
+        return s
+
+    def score_kf(self, kf_id: int, kf_ids) -> np.ndarray:
+        row = self.kf_bow_words[kf_id]
+        sel = row >= 0
+        return self.score(row[sel], self.kf_bow_vals[kf_id][sel], kf_ids)
+
+    # ------------------------------------------------------------------ #
+
     def _shared_words(self, words: np.ndarray, exclude) -> np.ndarray:
         """Count shared words between a query word set and every registered
-        KF ([K] int32)."""
+        KF ([K] int32) — one boolean-scratch pass over the stored rows."""
         present = np.zeros(self.voc.n_words + 1, bool)
         present[words[words >= 0]] = True
         kw = self.kf_words
@@ -70,8 +123,7 @@ class KeyFrameDatabase:
         min_common = int(0.8 * shared.max())
         cands = np.nonzero(shared > max(min_common, 0))[0]
 
-        q = self.kf_bow[kf_id]
-        scores = 1.0 - 0.5 * np.abs(q[None] - self.kf_bow[cands]).sum(1)
+        scores = self.score_kf(kf_id, cands)
         keep = scores >= min_score
         cands, scores = cands[keep], scores[keep]
         if len(cands) == 0:
@@ -82,11 +134,11 @@ class KeyFrameDatabase:
         acc = []
         for c, s in zip(cands, scores):
             group = self.map.best_covisible(int(c), 10)
-            group_scores = [s]
-            for g in group:
-                if self.registered[g] and shared[g] > min_common:
-                    gs = 1.0 - 0.5 * np.abs(q - self.kf_bow[g]).sum()
-                    group_scores.append(gs)
+            group = [g for g in group
+                     if self.registered[g] and shared[g] > min_common]
+            group_scores = [float(s)]
+            if group:
+                group_scores += list(self.score_kf(kf_id, group))
             acc.append((sum(group_scores), float(max(group_scores)), int(c)))
         best_acc = max(a for a, _, _ in acc)
         out = [(bs, c) for a, bs, c in acc if a >= 0.75 * best_acc]
@@ -94,23 +146,22 @@ class KeyFrameDatabase:
         return np.asarray([c for _, c in out[:max_candidates]], np.int64)
 
     def detect_relocalization_candidates(self, words: np.ndarray,
-                                         bow: np.ndarray,
+                                         bow: Optional[np.ndarray] = None,
                                          max_candidates: int = 5
                                          ) -> np.ndarray:
         """DetectRelocalizationCandidates (KeyFrameDatabase.cc:199-309) —
         same covisibility-group accumulation scheme as loop detection but
-        with no min-score floor and no exclusion set: each candidate's score
-        is accumulated over its top-10 covisible neighbors that also share
-        enough words; groups with accumulated score >= 0.75x the best group
-        survive, and each surviving group contributes its best single KF."""
+        with no min-score floor and no exclusion set (``bow`` accepted for
+        backward compatibility, unused)."""
         shared = self._shared_words(words, None)
         if shared.max(initial=0) == 0:
             return np.zeros(0, np.int64)
         min_common = int(0.8 * shared.max())
         cands = np.nonzero(shared > max(min_common, 0))[0]
-        scores = 1.0 - 0.5 * np.abs(bow[None] - self.kf_bow[cands]).sum(1)
         if len(cands) == 0:
             return np.zeros(0, np.int64)
+        qw, qv = self.sparse_bow(words)
+        scores = self.score(qw, qv, cands)
 
         score_of = dict(zip(cands.tolist(), scores.tolist()))
         acc = []  # (acc_score, best_kf_score, best_kf)
@@ -121,7 +172,7 @@ class KeyFrameDatabase:
                     continue
                 gs = score_of.get(int(g))
                 if gs is None:
-                    gs = float(1.0 - 0.5 * np.abs(bow - self.kf_bow[g]).sum())
+                    gs = float(self.score(qw, qv, [int(g)])[0])
                 total += gs
                 if gs > best_s:
                     best_s, best_kf = gs, int(g)

@@ -79,8 +79,7 @@ class LoopCloser:
         nbrs = m.covisible_keyframes(kf_id, min_weight=15)
         if len(nbrs) == 0:
             return -1
-        q = self.db.kf_bow[kf_id]
-        sims = 1.0 - 0.5 * np.abs(q[None] - self.db.kf_bow[nbrs]).sum(1)
+        sims = self.db.score_kf(kf_id, nbrs)
         min_score = float(sims.min()) * self.cfg.loop.min_score_factor
 
         cands = self.db.detect_loop_candidates(kf_id, min_score)

@@ -86,8 +86,8 @@ class Relocalizer:
                 pose, X, obs, w, v, cfg.camera, cfg.optimizer))
 
     def relocalize(self, fd: FrameData, words: np.ndarray,
-                   bow: np.ndarray) -> RelocResult:
-        cands = self.db.detect_relocalization_candidates(words, bow)
+                   bow: Optional[np.ndarray] = None) -> RelocResult:
+        cands = self.db.detect_relocalization_candidates(words)
         if len(cands) == 0:
             return RelocResult(False, None, None, None, 0)
 

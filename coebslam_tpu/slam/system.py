@@ -83,13 +83,11 @@ class System:
             self.loop_closer = LoopCloser(cfg, self.map, self.kf_db,
                                           mapper=self.mapper)
             self._jit_bow = jax.jit(
-                lambda d, v: voc_mod.transform(vocabulary, d, v))
+                lambda d, v: voc_mod.transform_words(vocabulary, d, v))
 
             def reloc_fn(fd):
-                words, groups, bow = self._jit_bow(fd.feats.desc,
-                                                   fd.feats.valid)
-                return self.relocalizer.relocalize(
-                    fd, np.asarray(words), np.asarray(bow))
+                words, _ = self._jit_bow(fd.feats.desc, fd.feats.valid)
+                return self.relocalizer.relocalize(fd, np.asarray(words))
 
             self.tracker.reloc_fn = reloc_fn
         self._prev_gray: Optional[jnp.ndarray] = None
@@ -109,11 +107,10 @@ class System:
         if self.localization_only:
             return
         if self.kf_db is not None:
-            words, groups, bow = self._jit_bow(
+            words, _ = self._jit_bow(
                 jnp.asarray(self.map.kf_desc[kf_id]),
                 jnp.asarray(self.map.kf_kp_valid[kf_id]))
-            self.kf_db.add(kf_id, np.asarray(words), np.asarray(groups),
-                           np.asarray(bow))
+            self.kf_db.add(kf_id, np.asarray(words))
         self.mapper.process_keyframe(kf_id)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf_id)

@@ -153,6 +153,24 @@ def transform(voc: Vocabulary, desc_u8, valid, group_up_levels: int = 4):
     Returns (word ids [N] int32 (-1 invalid), group ids [N], tf-idf BoW
     vector [n_words] float32, L1-normalized).
     """
+    words, group, _ = _descend(voc, desc_u8, valid, group_up_levels)
+    weights = jnp.asarray(voc.word_weight)
+    bow = jnp.zeros(voc.n_words).at[jnp.clip(words, 0)].add(
+        jnp.where(valid & (words >= 0), weights[jnp.clip(words, 0)], 0.0))
+    norm = jnp.maximum(jnp.sum(jnp.abs(bow)), 1e-9)
+    return words, group, bow / norm
+
+
+def transform_words(voc: Vocabulary, desc_u8, valid, group_up_levels: int = 4):
+    """Jittable descent returning (word ids [N], group ids [N]) only — no
+    dense BoW vector.  The production path stores SPARSE tf-idf rows
+    (slam.keyframe_db), so materializing an O(n_words) vector per keyframe
+    would waste a 4 MB device scatter per insertion at 10^6 words."""
+    words, groups, _ = _descend(voc, desc_u8, valid, group_up_levels)
+    return words, groups
+
+
+def _descend(voc: Vocabulary, desc_u8, valid, group_up_levels: int):
     from ..ops import brief
     bits = brief.unpack_bits(desc_u8)                # [N, 256]
     node_bits = jnp.asarray(_unpack(voc.node_desc))  # [n_nodes, 256]
@@ -174,12 +192,7 @@ def transform(voc: Vocabulary, desc_u8, valid, group_up_levels: int = 4):
         if level + 1 == group_level:
             group = cur
     words = jnp.where(valid, word_id[cur], -1)
-
-    weights = jnp.asarray(voc.word_weight)
-    bow = jnp.zeros(voc.n_words).at[jnp.clip(words, 0)].add(
-        jnp.where(valid & (words >= 0), weights[jnp.clip(words, 0)], 0.0))
-    norm = jnp.maximum(jnp.sum(jnp.abs(bow)), 1e-9)
-    return words, jnp.where(valid, group, -1), bow / norm
+    return words, jnp.where(valid, group, -1), cur
 
 
 def l1_score(bow_a, bow_b):
