@@ -15,6 +15,8 @@ Options:
   --settings FILE    settings YAML (reference cv::FileStorage style or
                      native); default = built-in TUM fr3 intrinsics
   --yolo WEIGHTS.pt  torch YOLOv5s checkpoint -> in-graph detector
+  --boxes FILE       precomputed detector boxes (stamp xmin ymin xmax ymax
+                     per line) -> deterministic detector stand-in
   --vocab FILE       ORB vocabulary (ORBvoc.txt or .npz) -> BoW reloc + loops
   --max-frames N     limit frame count
   --out DIR          output directory (default: SEQUENCE_DIR)
@@ -35,6 +37,7 @@ def main():
     ap.add_argument("--assoc")
     ap.add_argument("--settings")
     ap.add_argument("--yolo")
+    ap.add_argument("--boxes")
     ap.add_argument("--vocab")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--out")
@@ -69,6 +72,21 @@ def main():
         vocab = (voc_mod.load(args.vocab) if args.vocab.endswith(".npz")
                  else voc_mod.load_orbvoc_text(args.vocab))
 
+    box_lookup = None
+    if args.boxes:
+        import numpy as np
+        from coebslam_tpu.utils import replica
+        bstamps, bboxes = replica.load_boxes(
+            args.boxes, max_boxes=cfg.dynamic.max_boxes)
+
+        def box_lookup(stamp):
+            if len(bstamps) == 0:
+                return None
+            j = int(np.argmin(np.abs(bstamps - stamp)))
+            if abs(bstamps[j] - stamp) > 0.03:
+                return None
+            return bboxes[j]
+
     seq = (tum.load_association_file(args.sequence, args.assoc) if args.assoc
            else tum.load_tum_sequence(args.sequence))
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
@@ -82,7 +100,8 @@ def main():
         stamp, gray, depth = seq.load_frame(
             i, depth_factor=cfg.camera.depth_map_factor)
         t0 = time.perf_counter()
-        state, inl = system.track_rgbd(gray, depth, stamp)
+        boxes = box_lookup(stamp) if box_lookup else None
+        state, inl = system.track_rgbd(gray, depth, stamp, boxes=boxes)
         dt = time.perf_counter() - t0
         times.append(dt)
         if i % 25 == 0 or state != "OK":
