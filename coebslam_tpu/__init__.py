@@ -60,3 +60,20 @@ def _enable_compilation_cache() -> None:
 
 
 _enable_compilation_cache()
+
+
+def _set_matmul_precision() -> None:
+    """f32 matmuls must BE f32: this backend's default lowers them to
+    single-pass bf16 on the MXU (measured 0.6% relative error), which
+    quantizes point geometry to ~centimetres and diverges tracking.
+    Descriptor matmuls are unaffected — they pass explicit bf16 inputs
+    (ops/matching.hamming_matrix) and keep full MXU throughput."""
+    try:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "float32")
+    except Exception:          # pragma: no cover
+        pass
+
+
+_set_matmul_precision()

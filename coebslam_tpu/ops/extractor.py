@@ -108,9 +108,10 @@ def extract(
 
     levels = pyramid.build_pyramid(img, cfg)
     caps = level_budgets(cfg)
+    n_levels = cfg.n_levels
+    H, W = img.shape
+    cap_max = max(caps)
 
-    all_uv, all_level, all_score, all_angle, all_valid = [], [], [], [], []
-    all_patches = []
     # Traced FAST threshold: the strength map is threshold-independent, so
     # the COEB 20/7 -> 30/10 raise (ORBextractor.cc:775-784) is just a
     # different gate on the same map — no recompile, no double work.  We gate
@@ -128,53 +129,83 @@ def extract(
     # (slow; for tests only).
     pallas_interpret = use_pallas and jax.default_backend() != "tpu"
 
-    for lvl, lvl_img in enumerate(levels):
-        h, w = lvl_img.shape
+    # ---- one lax.scan over pyramid levels on a shared [H, W] canvas ----
+    # A Python loop over levels compiles a separate copy of every kernel
+    # per level shape (~28 MB of TPU code for 8 levels); executable size
+    # is a first-order cost on this backend (oversized programs are
+    # re-shipped to the device each dispatch).  Each level is placed in a
+    # zero-padded level-0-sized canvas and all per-level work runs as ONE
+    # compiled instance with the true extent as traced scalars.  Numerics
+    # are preserved exactly: the FAST kernel zero-pads + gates by true
+    # extent anyway; selection ranks the same nonzero-score candidates;
+    # blur/patch sampling reads a reflect-filled canvas that matches the
+    # standalone reflect-101 boundary handling, and the BRIEF pattern
+    # radius (18.4 px) never crosses the edge_threshold (19 px) gate.
+    canv = jnp.zeros((n_levels, H, W), jnp.float32)
+    for l, li in enumerate(levels):
+        canv = canv.at[l, :li.shape[0], :li.shape[1]].set(li)
+    hs = jnp.asarray([l.shape[0] for l in levels], jnp.int32)
+    ws = jnp.asarray([l.shape[1] for l in levels], jnp.int32)
+    scales = jnp.asarray([cfg.scale_factor ** l for l in range(n_levels)],
+                         jnp.float32)
+    caps_arr = jnp.asarray(caps, jnp.int32)
+
+    m = cfg.edge_threshold
+    row0 = jnp.arange(H)[:, None]
+    col0 = jnp.arange(W)[None, :]
+
+    def per_level(_, xs):
+        canvas, h, w, scale, cap_l, quota = xs
         if use_pallas:
-            # Fused single-pass kernel: circle diffs + arc reduction +
-            # border/threshold gate + 3x3 NMS, one HBM round-trip.
             strength, score = fast_pallas.strength_and_score(
-                lvl_img, thr, interpret=pallas_interpret)
+                canvas, thr, true_h=h, true_w=w,
+                interpret=pallas_interpret)
         else:
-            strength = fast.strength_map(lvl_img)
-            row = jnp.arange(h)[:, None]
-            col = jnp.arange(w)[None, :]
-            border = (row >= 3) & (row < h - 3) & (col >= 3) & (col < w - 3)
+            strength = fast.strength_map(canvas)
+            border = ((row0 >= 3) & (row0 < h - 3)
+                      & (col0 >= 3) & (col0 < w - 3))
             score = jnp.where(border & (strength > thr), strength, 0.0)
             score = fast.nms_3x3(score)
 
-        # Edge margin (reference EDGE_THRESHOLD=19 border).
-        m = cfg.edge_threshold
-        row = jnp.arange(h)[:, None]
-        col = jnp.arange(w)[None, :]
-        inside = (row >= m) & (row < h - m) & (col >= m) & (col < w - m)
+        # Edge margin (reference EDGE_THRESHOLD=19 border), traced extent.
+        inside = (row0 >= m) & (row0 < h - m) & (col0 >= m) & (col0 < w - m)
         score = jnp.where(inside, score, 0.0)
 
         lvl_mask = None
         if dynamic_mask is not None:
-            lvl_mask = dynamic_mask if lvl == 0 else jax.image.resize(
-                dynamic_mask.astype(jnp.float32), (h, w), "nearest") > 0.5
+            # Nearest-sample the level-0 mask at this level's scale.
+            sy = jnp.clip(((row0[:, 0] + 0.5) * H
+                           / jnp.maximum(h, 1)).astype(jnp.int32), 0, H - 1)
+            sx = jnp.clip(((col0[0] + 0.5) * W
+                           / jnp.maximum(w, 1)).astype(jnp.int32), 0, W - 1)
+            lvl_mask = dynamic_mask[sy[:, None], sx[None, :]]
             # Area mode culls BEFORE selection so the budget refills from
             # static regions (ORBextractor.cc:854-858).
-            score_pre = jnp.where(lvl_mask, 0.0, score)
-            score = jnp.where(area_mode, score_pre, score)
+            score = jnp.where(area_mode & lvl_mask, 0.0, score)
 
         yx, sc, valid = grid_select.select_grid_topk(
-            score, cfg.cell_size, k_per_cell=8, n_out=caps[lvl])
+            score, cfg.cell_size, k_per_cell=8, n_out=cap_max)
 
-        # Runtime quota: selections are rank-ordered, so masking the tail
-        # implements the adaptive budget without reshaping.
-        slot = jnp.arange(caps[lvl])
-        valid = valid & (slot < quotas[lvl])
+        # Per-level capacity + runtime quota: selections are rank-ordered,
+        # so masking the tail implements both without reshaping.
+        slot = jnp.arange(cap_max)
+        valid = valid & (slot < cap_l) & (slot < quota)
 
         if lvl_mask is not None:
             # Default mode culls AFTER selection (budget lost —
             # CheckMovingKeyPoints_finall, ORBextractor.cc:1371-1408).
             hit = lvl_mask[yx[:, 0], yx[:, 1]]
-            valid_post = valid & ~hit
-            valid = jnp.where(area_mode, valid, valid_post)
+            valid = jnp.where(area_mode, valid, valid & ~hit)
 
-        blurred = pyramid.gaussian_blur(lvl_img)
+        # Reflect-101-fill the canvas beyond the true extent so blur and
+        # patch sampling see the standalone per-level boundary handling.
+        ry = jnp.where(row0[:, 0] < h, row0[:, 0],
+                       jnp.maximum(2 * h - 2 - row0[:, 0], 0))
+        rx = jnp.where(col0[0] < w, col0[0],
+                       jnp.maximum(2 * w - 2 - col0[0], 0))
+        refl = canvas[jnp.clip(ry, 0, H - 1)[:, None],
+                      jnp.clip(rx, 0, W - 1)[None, :]]
+        blurred = pyramid.gaussian_blur(refl)
         pt = patches.gather_patches(blurred, yx)
         ang = patches.orientations(pt)
 
@@ -184,31 +215,34 @@ def extract(
         # x0 = (x_l + 0.5) * scale - 0.5.  (Plain x_l * scale introduces a
         # systematic +0.5*(scale-1) px bias at upper levels.)
         off = fast.subpixel_refine(strength, yx)
-        scale = cfg.scale_factor ** lvl
         uv = jnp.stack(
             [(yx[:, 1].astype(jnp.float32) + off[:, 1] + 0.5) * scale - 0.5,
              (yx[:, 0].astype(jnp.float32) + off[:, 0] + 0.5) * scale - 0.5],
             axis=-1)
+        return 0, (uv, sc, ang, valid, pt)
 
-        all_uv.append(uv)
-        all_level.append(jnp.full((caps[lvl],), lvl, jnp.int32))
-        all_score.append(sc)
-        all_angle.append(ang)
-        all_valid.append(valid)
-        all_patches.append(pt)
+    _, (uv_l, sc_l, ang_l, val_l, pt_l) = jax.lax.scan(
+        per_level, 0, (canv, hs, ws, scales, caps_arr, quotas))
 
-    uv = jnp.concatenate(all_uv)
-    lvls = jnp.concatenate(all_level)
-    scores = jnp.concatenate(all_score)
-    angles = jnp.concatenate(all_angle)
-    valids = jnp.concatenate(all_valid)
-    patch_tensor = jnp.concatenate(all_patches)
+    # Static compaction [n_levels, cap_max] -> [max_keypoints]: output slot
+    # j holds level level_of[j], slot slot_of[j] — the same contiguous
+    # per-level layout the per-level concatenate produced.
+    level_of = jnp.asarray(
+        [l for l in range(n_levels) for _ in range(caps[l])], jnp.int32)
+    slot_of = jnp.asarray(
+        [s for l in range(n_levels) for s in range(caps[l])], jnp.int32)
+
+    uv = uv_l[level_of, slot_of]
+    scores = sc_l[level_of, slot_of]
+    angles = ang_l[level_of, slot_of]
+    valids = val_l[level_of, slot_of]
+    patch_tensor = pt_l[level_of, slot_of]
 
     bits = brief.describe(patch_tensor, angles)
     desc = brief.pack_bits(bits)
 
     uv = jnp.where(valids[:, None], uv, -1.0)
-    return Features(uv=uv, level=lvls,
+    return Features(uv=uv, level=level_of,
                     score=jnp.where(valids, scores, 0.0),
                     angle=jnp.where(valids, angles, 0.0),
                     desc=desc, valid=valids)

@@ -34,8 +34,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(thr_ref, img_ref, strength_ref, score_ref, *, tile: int,
-            wp: int, true_h: int, true_w: int):
+def _kernel(scal_ref, img_ref, strength_ref, score_ref, *, tile: int,
+            wp: int):
     """One program = one row band of `tile` output rows.
 
     img_ref:      [tile + 2*HALO, wp + 2*HALO] band of the padded image.
@@ -69,7 +69,11 @@ def _kernel(thr_ref, img_ref, strength_ref, score_ref, *, tile: int,
         best = jnp.maximum(best, jnp.maximum(wmin, -wmax))
 
     i = pl.program_id(0)
-    thr = thr_ref[0]
+    thr = scal_ref[0]
+    # True image extent as SMEM scalars (traced): the same compiled kernel
+    # serves every pyramid level placed in a shared zero-padded canvas.
+    true_h = scal_ref[1].astype(jnp.int32)
+    true_w = scal_ref[2].astype(jnp.int32)
 
     # Global coordinates of the strength slab: local row r is global row
     # i*tile + r - 1, local col c is global col c - 1.
@@ -94,7 +98,7 @@ def _kernel(thr_ref, img_ref, strength_ref, score_ref, *, tile: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(img, thr, *, interpret: bool = False):
+def _run(img, thr, true_h, true_w, *, interpret: bool = False):
     h, w = img.shape
     tile = 64 if h >= 64 else _round_up(h, 8)
     n_t = -(-h // tile)
@@ -105,7 +109,7 @@ def _run(img, thr, *, interpret: bool = False):
     padded = jax.lax.dynamic_update_slice(
         padded, img.astype(jnp.float32), (HALO, HALO))
 
-    kern = functools.partial(_kernel, tile=tile, wp=wp, true_h=h, true_w=w)
+    kern = functools.partial(_kernel, tile=tile, wp=wp)
     strength, score = pl.pallas_call(
         kern,
         grid=(n_t,),
@@ -131,21 +135,31 @@ def _run(img, thr, *, interpret: bool = False):
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray([thr], jnp.float32).reshape(1), padded)
+    )(jnp.stack([jnp.asarray(thr, jnp.float32),
+                 jnp.asarray(true_h, jnp.float32),
+                 jnp.asarray(true_w, jnp.float32)]), padded)
     return strength[:h, :w], score[:h, :w]
 
 
-def strength_and_score(img, thr, *, interpret: bool = False):
+def strength_and_score(img, thr, *, true_h=None, true_w=None,
+                       interpret: bool = False):
     """Fused FAST strength map + gated/NMS'd score map.
 
     Args:
       img: [H, W] float32 grayscale in [0, 255].
       thr: scalar detection threshold (traced OK).
+      true_h/true_w: traced true extent when ``img`` is a zero-padded
+        canvas holding a smaller level (defaults to the static shape).
       interpret: run the Pallas interpreter (CPU debugging / tests).
 
     Returns:
       (strength [H, W], score [H, W]) — identical to
       `fast.strength_map(img)` and
-      `fast.nms_3x3(border_gate(strength > thr))`.
+      `fast.nms_3x3(border_gate(strength > thr))` over the true extent.
     """
-    return _run(img, thr, interpret=interpret)
+    h, w = img.shape
+    if true_h is None:
+        true_h = h
+    if true_w is None:
+        true_w = w
+    return _run(img, thr, true_h, true_w, interpret=interpret)

@@ -145,11 +145,14 @@ def optimize_pose(
         active = valid & (c2 <= chi2_th)
         return (pose, active), c2
 
-    carry = (pose0, valid)
-    for r in range(cfg.pose_rounds):
-        use_huber = r < 2     # kernel dropped from round 3 (Optimizer.cc:436)
-        carry, chi2 = gn_round(carry, jnp.bool_(use_huber))
-    pose, active = carry
+    # lax.scan over rounds, NOT a Python unroll: each unrolled round
+    # duplicates the residual/Jacobian code (~1 MB of TPU text per copy),
+    # and executable size is a first-order cost on this backend (programs
+    # past the runtime's retention budget are re-shipped per dispatch).
+    use_huber = jnp.arange(cfg.pose_rounds) < 2   # dropped from round 3
+                                                  # (Optimizer.cc:436)
+    (pose, active), chi2s = jax.lax.scan(gn_round, (pose0, valid), use_huber)
+    chi2 = chi2s[-1]
     return PoseOptResult(pose=pose, inliers=active,
                          n_inliers=active.sum().astype(jnp.int32),
                          chi2=chi2)

@@ -240,30 +240,65 @@ def fused_step(fd: FrameData, state: DevTrackState, local_ids, local_valid,
     pose_pred = _select(state.has_vel,
                         SE3(state.vR, state.vt).compose(pose_last), pose_last)
 
-    def run(pose, ids, idv, radius):
-        return track_step(fd, pose, pos[ids], sd[ids], idv & pv[ids],
-                          pa[ids], pn[ids], pmin[ids], pmax[ids],
-                          jnp.float32(radius), cfg)
+    # The four matching/solve stages run as ONE lax.scan over per-stage
+    # parameters, not four inlined track_step calls: each inlined copy is
+    # ~3 MB of compiled TPU text, and executable size is a first-order
+    # cost on this backend (programs past the runtime's retention budget
+    # are re-shipped to the device on every dispatch).  Stage semantics
+    # (identical to the unrolled form):
+    #   0: motion-model predict vs last frame's points, tight window
+    #      (SearchByProjection(F, LastF), Tracking.cc:933-994);
+    #   1: widened retry from the unpredicted pose, adopted only when
+    #      stage 0 was weak and it found more inliers (Tracking.cc:
+    #      956-966) — unconditional compute, conditional ADOPTION;
+    #   2: wide pass over the covisibility local map from the stage-1
+    #      pose (TrackLocalMap, Tracking.cc:996-1048);
+    #   3: tight re-match from the refined pose; best of 2/3 wins.
+    L = local_ids.shape[0]
+    N = state.pids.shape[0]
+    s1_ids = jnp.concatenate(
+        [jnp.clip(state.pids, 0), jnp.zeros(max(L - N, 0), jnp.int32)])[:L]
+    s1_valid = jnp.concatenate(
+        [state.pids >= 0, jnp.zeros(max(L - N, 0), bool)])[:L]
 
-    # Stage 1 vs the previous frame's matched points + in-graph widened
-    # retry (Tracking.cc:956-966 semantics).
-    s1_ids = jnp.clip(state.pids, 0)
-    s1_valid = state.pids >= 0
-    res1 = run(pose_pred, s1_ids, s1_valid, cfg.matcher.radius_motion_model)
+    r_mm = cfg.matcher.radius_motion_model
+    stage_ids = jnp.stack([s1_ids, s1_ids, local_ids, local_ids])
+    stage_idv = jnp.stack([s1_valid, s1_valid, local_valid, local_valid])
+    stage_r = jnp.asarray([r_mm, 2.0 * r_mm, 16.0, 6.0], jnp.float32)
+    # Pose source per stage: 0 = motion prediction, 1 = last pose
+    # (retry), 2 = carry (previous stage's adopted pose).
+    stage_src = jnp.asarray([0, 1, 2, 2], jnp.int32)
+    stage_is_retry = jnp.asarray([False, True, False, False])
+    stage_is_2a = jnp.asarray([False, False, True, False])
 
-    def retry(_):
-        wide = run(pose_last, s1_ids, s1_valid,
-                   2.0 * cfg.matcher.radius_motion_model)
-        return _select(wide.n_inliers > res1.n_inliers, wide, res1)
+    def stage(carry, xs):
+        pose_cur, n_cur = carry
+        ids, idv, radius, src, is_retry, is_2a = xs
+        pose_in = _select(src == 0, pose_pred,
+                          _select(src == 1, pose_last, pose_cur))
+        res = track_step(fd, pose_in, pos[ids], sd[ids], idv & pv[ids],
+                         pa[ids], pn[ids], pmin[ids], pmax[ids],
+                         radius, cfg)
+        adopt = jnp.where(
+            is_retry, (n_cur < 30) & (res.n_inliers > n_cur),
+            jnp.where(is_2a, res.n_inliers >= t_cfg.min_inliers_track,
+                      True))
+        pose_cur = _select(adopt, res.pose, pose_cur)
+        n_cur = jnp.where(is_retry & adopt | ~is_retry & (src != 2),
+                          res.n_inliers, n_cur)
+        return (pose_cur, n_cur), res
 
-    res1 = jax.lax.cond(res1.n_inliers < 30, retry, lambda _: res1, None)
+    (_, _), ys = jax.lax.scan(
+        stage, (pose_pred, jnp.int32(0)),
+        (stage_ids, stage_idv, stage_r, stage_src, stage_is_retry,
+         stage_is_2a))
 
-    # Stage 2: wide pass absorbs stage-1 error, tight re-match refines.
-    res2a = run(res1.pose, local_ids, local_valid, 16.0)
-    ok2a = res2a.n_inliers >= t_cfg.min_inliers_track
-    pose_mid = _select(ok2a, res2a.pose, res1.pose)
-    res2 = run(pose_mid, local_ids, local_valid, 6.0)
-    final = _select(res2.n_inliers >= res2a.n_inliers, res2, res2a)
+    take = lambda i: jax.tree.map(lambda a: a[i], ys)
+    y0, y1, y2a, y2 = take(0), take(1), take(2), take(3)
+    res1 = _select((y0.n_inliers < 30) & (y1.n_inliers > y0.n_inliers),
+                   y1, y0)
+    res2a = y2a
+    final = _select(y2.n_inliers >= y2a.n_inliers, y2, y2a)
 
     # In-graph gates: enough stage-1 and final inliers, and a plausible
     # motion (the host's old LOST branch, Tracking.cc:264-575; gate_scale
