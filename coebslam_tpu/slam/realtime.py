@@ -430,13 +430,28 @@ class RealtimeSlam:
     #: outstanding executions; 8 keeps the pipe full at negligible cost.
     pipeline_depth = 8
 
-    def __init__(self, cfg: SystemConfig, lim: Optional[RTLimits] = None):
+    def __init__(self, cfg: SystemConfig, lim: Optional[RTLimits] = None,
+                 detector=None, detect_every: int = 10):
+        """Args:
+          detector: optional models.detector.YoloDetector — dispatched
+            in-stream every ``detect_every`` frames; its device boxes
+            feed the dynamic front-end when the caller provides none.
+            Reduced cadence mirrors the reference's ApproximateTime sync
+            (ros_rgbd.cc:73-78), which tolerates stale boxes — the
+            sticky mask bridges between detections.  (The detector is a
+            separate executable by necessity: its conv stack compiles to
+            ~87 MB of TPU code, past this backend's executable-retention
+            budget, so running it every frame evicts the SLAM program.)
+        """
         self.cfg = cfg
         self.lim = lim or RTLimits()
+        self.detector = detector
+        self.detect_every = max(int(detect_every), 1)
         self.state = init_state(cfg, self.lim)
         self.stamps = []
         self._seed = 0
         self._since_sync = 0
+        self._det_boxes = None
         # NO buffer donation: donating the state pytree makes this
         # runtime synchronize every dispatch (measured 96 ms/frame with
         # donate_argnums=(4,) vs 0.4 ms without — the donated-input
@@ -448,6 +463,11 @@ class RealtimeSlam:
         self._no_boxes = jnp.full((nb, 4), -1.0, jnp.float32)
 
     def track(self, gray, depth, stamp: float, boxes=None) -> None:
+        if self.detector is not None \
+                and len(self.stamps) % self.detect_every == 0:
+            self._det_boxes = self.detector.detect_device(gray)
+        if boxes is None:
+            boxes = self._det_boxes
         b = self._no_boxes if boxes is None else boxes
         if not isinstance(b, jnp.ndarray):
             arr = np.full((self.cfg.dynamic.max_boxes, 4), -1.0, np.float32)
