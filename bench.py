@@ -6,10 +6,14 @@ COEB workload — ORB extraction masked by the sticky dynamic mask,
 in-graph epipolar motion check + two-tier box classification + keypoint
 culling, MXU Hamming matching, robust pose GN, in-graph keyframe policy
 + creation + RGB-D point spawning, windowed local BA — as ONE device
-program per frame, with the YOLOv5s detector dispatched in-stream at
-reduced cadence (the reference's ApproximateTime sync tolerates stale
-boxes, ros_rgbd.cc:73-78).  The host loop uploads sensor frames and
-dispatches; nothing reads back until the run ends.
+program per frame.  The YOLOv5s detector forward runs continuously in a
+SIBLING process sharing the chip (the reference's process topology,
+yolo_v5.py over ROS), so its device time contends with SLAM exactly as
+in production; the boxes the SLAM side consumes are the renderer's
+ground-truth walker boxes, standing in for the detection stream (see
+_spawn_detector_process / bench_realtime docstrings).  The host loop
+uploads sensor frames and dispatches; nothing reads back until the run
+ends.
 
 A synthetic textured room with a person-sized moving quad ("walker") is
 tracked at TUM-like motion; input is fed in real sensor formats (uint8

@@ -1,0 +1,431 @@
+"""In-graph map maintenance for the zero-sync realtime mode: BoW loop
+closing + relocalization as a SECOND small device program, dispatched by
+the host every few frames with NO device->host readback.
+
+This is the reference's LoopClosing thread (LoopClosing.cc:58-777) and
+the relocalization path (Tracking.cc:1417-1580) brought into the
+no-readback regime (VERDICT r3 "grow the realtime mode toward full
+SLAM"): the host cannot look at detection scores — every decision
+(candidate gating, consistency streaks, Sim3 acceptance, correction
+propagation) happens on device behind `lax.cond`, and the outcome is
+only visible in the session-end readback (`RealtimeSlam.finish()`).
+
+Pipeline per dispatch (each stage conditional, so a no-event dispatch
+costs only the BoW transform of at most one new keyframe):
+
+1. **Process one new keyframe** — compute its tf-idf BoW row from the
+   descriptors of its observed landmarks (device vocabulary descent, the
+   DBoW2 transform of Frame.cc:575) into the [K, n_words] device
+   database (KeyFrameDatabase::add, KeyFrameDatabase.cc:40).
+2. **Detect** — L1 similarity against all older rows; gate by the
+   temporal-neighbor min-score (DetectLoop's covisibility min-score,
+   LoopClosing.cc:122-139), a minimum keyframe gap (the covisibility
+   exclusion), and a 3-consecutive-keyframe consistency streak
+   (LoopClosing.cc:153-212).
+3. **Solve** — mutual-best Hamming matching between the two keyframes'
+   landmark descriptors (SearchByBoW, ORBmatcher.cc:522), then 3D-3D
+   RANSAC alignment of the new keyframe's depth-backed observations
+   against the OLD map positions (Sim3Solver semantics, Sim3Solver.cc:
+   226-338; scale fixed for RGB-D) — `ops.procrustes.ransac_alignment`.
+4. **Correct** — initialize the newest node at the solved pose, build a
+   sequential-chain + loop-edge Sim3 pose graph over the live keyframe
+   ring, fix every node at-or-before the loop candidate, run
+   `optim.pose_graph.optimize_pose_graph` (OptimizeEssentialGraph,
+   Optimizer.cc:781-1044), write corrected rows back, re-map every point
+   chunk through its owner keyframe's correction (LoopClosing.cc:
+   448-517) and re-base the live tracking pose.  The candidate's chunks
+   are re-exposed to tracking (`RTState.reuse_lid`) so the front-end
+   re-matches the revisited place (SearchAndFuse's role, LoopClosing.cc:
+   588-614, without a host round trip).
+5. **Relocalize** — when tracking has been lost for several frames:
+   BoW-score the stashed newest frame against the keyframe database,
+   match its descriptors against the best candidate's landmarks, solve
+   camera pose by 3D-3D RANSAC on the frame's depth (Relocalization,
+   Tracking.cc:1417; with RGB-D depth the EPnP of PnPsolver.cc collapses
+   to absolute orientation — ops/procrustes docstring), and repair the
+   device tracking state in place.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..geometry import so3 as so3_mod
+from ..ops import brief, matching as matching_ops, procrustes
+from ..optim import pose_graph as pg
+from . import realtime as rt
+
+LOG_ROWS = 16         # loop-event log capacity (per session)
+
+# Loop policy constants (reference equivalents; see class docstring).
+MIN_KF_GAP = 15       # candidate must be >= this many keyframes older
+                      # (stands in for the covisibility exclusion,
+                      # LoopClosing.cc:146-152)
+COOLDOWN_KFS = 10     # no re-detection sooner than this after a closure
+                      # (mnLastLoopKFid + 10 gate, LoopClosing.cc:114)
+REUSE_TTL = 120       # frames the revisited chunks stay in the local map
+LOOP_EDGE_WEIGHT = 3.0
+ALIGN_INLIER_M = 0.08      # 3D RANSAC inlier radius (loop)
+RELOC_INLIER_M = 0.07      # 3D RANSAC inlier radius (reloc)
+RELOC_AFTER_LOST = 4       # frames lost before in-graph reloc fires
+RELOC_MIN_INLIERS = 15
+
+
+class MaintState(NamedTuple):
+    kf_bow: jnp.ndarray        # [K, n_words] float32 L1-normalized tf-idf
+    bow_lid: jnp.ndarray       # [K] int32 logical id the row was built for
+    bow_next: jnp.ndarray      # int32 next logical keyframe to process
+    cand_lid: jnp.ndarray      # int32 last detection candidate (-1)
+    streak: jnp.ndarray        # int32 consecutive-detection count
+    last_loop_lid: jnp.ndarray # int32 newest keyframe of the last closure
+    loop_log: jnp.ndarray      # [LOG_ROWS, 6] (lid, cand, score, pairs,
+                               #                inliers, applied)
+    n_events: jnp.ndarray      # int32 confirmed candidates attempted
+    n_loops: jnp.ndarray       # int32 closures applied
+    n_reloc: jnp.ndarray       # int32 relocalizations applied
+
+
+def _descend(desc_u8, valid, node_bits, children, word_id, depth: int):
+    """Vocabulary tree descent (vocabulary._descend over device arrays)."""
+    bits = brief.unpack_bits(desc_u8)                # [N, 256]
+    n = desc_u8.shape[0]
+    cur = jnp.zeros(n, jnp.int32)
+    for _ in range(depth):
+        ch = children[cur]                           # [N, k]
+        cb = node_bits[jnp.clip(ch, 0)]              # [N, k, 256]
+        d = jnp.sum(bits[:, None, :] != cb, axis=-1)
+        d = jnp.where(ch >= 0, d, 1 << 30)
+        nxt = jnp.take_along_axis(ch, jnp.argmin(d, 1)[:, None], 1)[:, 0]
+        cur = jnp.where((ch >= 0).any(1), nxt, cur)
+    return jnp.where(valid, word_id[cur], -1)
+
+
+def _bow_vector(words, valid, weights, n_words: int):
+    w = jnp.where(valid & (words >= 0), weights[jnp.clip(words, 0)], 0.0)
+    bow = jnp.zeros(n_words).at[jnp.clip(words, 0)].add(w)
+    return bow / jnp.maximum(jnp.sum(bow), 1e-9)
+
+
+def _l1_scores(bow, rows):
+    """DBoW2 L1 similarity of one vector against a row matrix."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(rows - bow[None, :]), axis=-1)
+
+
+def _cam_points(cam, uv, z):
+    return jnp.stack([(uv[:, 0] - cam.cx) / cam.fx * z,
+                      (uv[:, 1] - cam.cy) / cam.fy * z, z], axis=-1)
+
+
+def _kf_landmarks(st: rt.RTState, row, lim):
+    """(logical pids, physical rows, validity) of one keyframe row's
+    observed landmarks."""
+    pids = st.kf_pid[row]
+    ph = rt.pid_phys(pids, lim)
+    ok = rt.pid_alive(pids, st.kf_lid, lim) & st.pt_valid[ph]
+    return pids, ph, ok
+
+
+def maintenance_step(st: rt.RTState, ms: MaintState, seed,
+                     node_bits, children, word_id, word_weight,
+                     cfg: SystemConfig, lim: rt.RTLimits, depth: int):
+    """One maintenance dispatch.  Jittable; zero host transfers."""
+    K, S = lim.max_kf, lim.spawn_per_kf
+    n_words = ms.kf_bow.shape[1]
+    cam = cfg.camera
+    key = jax.random.PRNGKey(seed)
+    k_detect, k_reloc = jax.random.split(key)
+
+    # ---------------------------------------------------------------- #
+    # stage 1+2: BoW one new keyframe, detect loop candidates
+    # ---------------------------------------------------------------- #
+    # If maintenance lags a keyframe burst, skip ahead — only recent
+    # keyframes are useful loop QUERIES (every processed one remains in
+    # the database as a candidate).
+    lid = jnp.maximum(ms.bow_next, st.n_kf - 4)
+    todo = lid < st.n_kf
+
+    def process(carry):
+        st, ms = carry
+        row = lid % K
+        pids, ph, ok = _kf_landmarks(st, row, lim)
+        words = _descend(st.pt_desc[ph], ok, node_bits, children,
+                         word_id, depth)
+        bow = _bow_vector(words, ok, word_weight, n_words)
+
+        # Detection against the PRE-update database (self not included).
+        scores = _l1_scores(bow, ms.kf_bow)
+        db_ok = (ms.bow_lid >= 0) & (ms.bow_lid == st.kf_lid)
+        elig = db_ok & (ms.bow_lid <= lid - MIN_KF_GAP)
+        sc = jnp.where(elig, scores, -1.0)
+        best = jnp.argmax(sc)
+        best_sc = sc[best]
+        best_lid = ms.bow_lid[best]
+        # min-score: the WEAKEST similarity among recent temporal
+        # neighbors (the reference's min-over-covisible-neighbors gate,
+        # LoopClosing.cc:122-139 — temporal neighbors are the realtime
+        # mode's covisibility stand-in).
+        nbr = db_ok & (ms.bow_lid >= lid - 8) & (ms.bow_lid <= lid - 1)
+        min_sc = jnp.min(jnp.where(nbr, scores, 1.0))
+        hit = (best_sc > 0.0) & nbr.any() \
+            & (best_sc >= min_sc * cfg.loop.min_score_factor)
+
+        near_prev = jnp.abs(best_lid - ms.cand_lid) <= 3
+        streak = jnp.where(hit & near_prev, ms.streak + 1,
+                           jnp.where(hit, 1, 0))
+        confirmed = hit \
+            & (streak >= cfg.loop.covisibility_consistency_threshold) \
+            & (lid - ms.last_loop_lid >= COOLDOWN_KFS)
+
+        ms = ms._replace(
+            kf_bow=jax.lax.dynamic_update_slice(ms.kf_bow, bow[None],
+                                                (row, 0)),
+            bow_lid=ms.bow_lid.at[row].set(lid),
+            bow_next=lid + 1,
+            cand_lid=jnp.where(hit, best_lid, jnp.int32(-1)),
+            streak=streak)
+
+        st, ms = jax.lax.cond(
+            confirmed,
+            lambda c: _close_loop(c[0], c[1], lid, best, best_sc,
+                                  k_detect, cfg, lim),
+            lambda c: c, (st, ms))
+        return st, ms
+
+    st, ms = jax.lax.cond(todo, process, lambda c: c, (st, ms))
+
+    # ---------------------------------------------------------------- #
+    # stage 5: relocalization when tracking is lost
+    # ---------------------------------------------------------------- #
+    need = (~st.track.ok) & (st.n_lost >= RELOC_AFTER_LOST) & (st.n_kf > 0)
+
+    def reloc(carry):
+        st, ms = carry
+        words = _descend(st.fr_desc, st.fr_valid, node_bits, children,
+                         word_id, depth)
+        bow = _bow_vector(words, st.fr_valid, word_weight, n_words)
+        db_ok = (ms.bow_lid >= 0) & (ms.bow_lid == st.kf_lid)
+        sc = jnp.where(db_ok, _l1_scores(bow, ms.kf_bow), -1.0)
+        best = jnp.argmax(sc)
+
+        pids_b, ph_b, ok_b = _kf_landmarks(st, best, lim)
+        sd_f = brief.to_signed(brief.unpack_bits(st.fr_desc))
+        sd_b = brief.to_signed(brief.unpack_bits(st.pt_desc[ph_b]))
+        ham = matching_ops.hamming_matrix(sd_f, sd_b)
+        ham = jnp.where(st.fr_valid[:, None] & ok_b[None, :], ham, 1e9)
+        j = jnp.argmin(ham, axis=1)
+        dmin = jnp.min(ham, axis=1)
+        pair = st.fr_valid & (dmin <= cfg.matcher.th_high)
+
+        has_d = st.fr_depth > 0
+        dst_c = _cam_points(cam, st.fr_uv, st.fr_depth)
+        src_w = st.pt_pos[ph_b[j]]
+        res = procrustes.ransac_alignment(
+            src_w, dst_c, pair & has_d, k_reloc, n_hypotheses=256,
+            threshold=RELOC_INLIER_M, with_scale=False)
+        applied = res.n_inliers >= RELOC_MIN_INLIERS
+
+        R_cw = so3_mod.orthonormalize(res.R)
+        pids_new = jnp.where(res.inliers, pids_b[j], -1)
+        track = st.track._replace(
+            R=jnp.where(applied, R_cw, st.track.R),
+            t=jnp.where(applied, res.t, st.track.t),
+            vR=jnp.eye(3, dtype=jnp.float32),
+            vt=jnp.zeros(3, jnp.float32),
+            has_vel=jnp.bool_(False),
+            ok=st.track.ok | applied,
+            pids=jnp.where(applied, pids_new, st.track.pids))
+        st = st._replace(
+            track=track,
+            n_lost=jnp.where(applied, 0, st.n_lost),
+            # re-expose the candidate's chunks so the next frames match
+            # against the place we believe we are at
+            reuse_lid=jnp.where(applied, ms.bow_lid[best], st.reuse_lid),
+            reuse_ttl=jnp.where(applied, REUSE_TTL, st.reuse_ttl))
+        ms = ms._replace(n_reloc=ms.n_reloc + applied.astype(jnp.int32))
+        return st, ms
+
+    st, ms = jax.lax.cond(need, reloc, lambda c: c, (st, ms))
+    return st, ms
+
+
+def _close_loop(st: rt.RTState, ms: MaintState, lid, cand_row, score,
+                key, cfg: SystemConfig, lim: rt.RTLimits):
+    """Stages 3+4: solve the closure and propagate the correction."""
+    K, S = lim.max_kf, lim.spawn_per_kf
+    PT = K * S
+    cam = cfg.camera
+    row_new = lid % K
+    cand_lid = st.kf_lid[cand_row]
+
+    # ---- stage 3: landmark matching + 3D-3D RANSAC
+    pids_n, ph_n, ok_n = _kf_landmarks(st, row_new, lim)
+    pids_c, ph_c, ok_c = _kf_landmarks(st, cand_row, lim)
+    sd_n = brief.to_signed(brief.unpack_bits(st.pt_desc[ph_n]))
+    sd_c = brief.to_signed(brief.unpack_bits(st.pt_desc[ph_c]))
+    ham = matching_ops.hamming_matrix(sd_n, sd_c)
+    ham = jnp.where(ok_n[:, None] & ok_c[None, :], ham, 1e9)
+    j = jnp.argmin(ham, axis=1)
+    dmin = jnp.min(ham, axis=1)
+    ibest = jnp.argmin(ham, axis=0)
+    mutual = ibest[j] == jnp.arange(ham.shape[0])
+    pair = ok_n & (dmin <= cfg.matcher.th_low) & mutual
+
+    # New KF's camera-frame 3D from its stereo-virtual observations
+    # (depth = bf / disparity, Frame.cc:820-842 inverted).
+    obs = st.kf_obs[row_new]
+    u, v, ur = obs[:, 0], obs[:, 1], obs[:, 2]
+    disp = u - ur
+    has_d = (jnp.abs(ur + 1.0) > 1e-4) & (disp > 0.1)
+    z = cam.bf / jnp.maximum(disp, 0.1)
+    src = _cam_points(cam, obs[:, :2], z)
+    dst = st.pt_pos[ph_c[j]]           # candidate-era world positions
+
+    res = procrustes.ransac_alignment(
+        src, dst, pair & has_d, key, n_hypotheses=256,
+        threshold=ALIGN_INLIER_M, with_scale=False)
+    accepted = res.n_inliers >= cfg.loop.min_sim3_inliers
+
+    # ---- event log (always recorded, applied flag says the rest)
+    ev = jnp.stack([lid.astype(jnp.float32),
+                    cand_lid.astype(jnp.float32), score,
+                    pair.sum().astype(jnp.float32),
+                    res.n_inliers.astype(jnp.float32),
+                    accepted.astype(jnp.float32)])
+    log = jax.lax.dynamic_update_slice(
+        ms.loop_log, ev[None], (ms.n_events % LOG_ROWS, 0))
+    ms = ms._replace(loop_log=log, n_events=ms.n_events + 1)
+
+    def apply(carry):
+        st, ms = carry
+        # Corrected world->cam pose of the new keyframe: RANSAC solved
+        # cam->old-world (dst = R src + t), so T_cw = (R^T, -R^T t).
+        R_corr = so3_mod.orthonormalize(res.R.T)
+        t_corr = -R_corr @ res.t
+
+        # ---- stage 4: sequential-chain + loop-edge pose graph
+        lids = st.kf_lid                      # [K] per physical row
+        valid_nodes = lids >= 0
+        R0 = jax.lax.dynamic_update_slice(st.kf_R, R_corr[None],
+                                          (row_new, 0, 0))
+        t0 = jax.lax.dynamic_update_slice(st.kf_t, t_corr[None],
+                                          (row_new, 0))
+        fixed = (lids <= cand_lid) | ~valid_nodes
+
+        low = jnp.maximum(st.n_kf - K, 0)
+        e_lids = low + 1 + jnp.arange(K - 1)
+        e_ok = e_lids < st.n_kf
+        ei = e_lids % K
+        ej = (e_lids - 1) % K
+        # Measured relatives from PRE-correction poses (drift-consistent).
+        R_i, t_i = st.kf_R[ei], st.kf_t[ei]
+        R_j, t_j = st.kf_R[ej], st.kf_t[ej]
+        R_m = jnp.einsum("eij,ekj->eik", R_i, R_j)       # R_i R_j^T
+        t_m = t_i - jnp.einsum("eij,ej->ei", R_m, t_j)
+        # Loop edge: corrected newest vs candidate.
+        R_cl = R_corr @ st.kf_R[cand_row].T
+        t_cl = t_corr - R_cl @ st.kf_t[cand_row]
+        edge_i = jnp.concatenate([ei, jnp.asarray([0])]).at[K - 1].set(
+            row_new)
+        edge_j = jnp.concatenate([ej, jnp.asarray([0])]).at[K - 1].set(
+            cand_row)
+        edge_R = jnp.concatenate([R_m, R_cl[None]])
+        edge_t = jnp.concatenate([t_m, t_cl[None]])
+        edge_valid = jnp.concatenate([e_ok, jnp.asarray([True])])
+        edge_w = jnp.concatenate([jnp.ones(K - 1),
+                                  jnp.asarray([LOOP_EDGE_WEIGHT])])
+
+        prob = pg.PoseGraphProblem(
+            s=jnp.ones(K), R=R0, t=t0, fixed=fixed, valid=valid_nodes,
+            edge_i=edge_i.astype(jnp.int32), edge_j=edge_j.astype(jnp.int32),
+            edge_s=jnp.ones(K), edge_R=edge_R, edge_t=edge_t,
+            edge_valid=edge_valid, edge_weight=edge_w)
+        sol = pg.optimize_pose_graph(prob, cfg.optimizer, fix_scale=True)
+
+        changed = (~fixed) & valid_nodes
+        Rn = jnp.where(changed[:, None, None], sol.R, st.kf_R)
+        tn = jnp.where(changed[:, None], sol.t, st.kf_t)
+
+        # ---- re-map point chunks through their owner's correction:
+        # x_c invariant  =>  x_w' = Rn^T (Ro x + to - tn)
+        A = jnp.einsum("kji,kjl->kil", Rn, st.kf_R)      # Rn^T Ro
+        b = jnp.einsum("kji,kj->ki", Rn, st.kf_t - tn)
+        owner = jnp.arange(PT) // S
+        moved = changed[owner]
+        pos2 = jnp.einsum("pij,pj->pi", A[owner], st.pt_pos) + b[owner]
+        pt_pos = jnp.where((moved & st.pt_valid)[:, None], pos2, st.pt_pos)
+
+        # ---- re-base the live tracking pose (rigid with the newest KF):
+        # T_track' = T_track o T_old(new)^-1 o T_new(new)
+        Ro_n, to_n = st.kf_R[row_new], st.kf_t[row_new]
+        Rn_n, tn_n = Rn[row_new], tn[row_new]
+        M_R = Ro_n.T @ Rn_n
+        M_t = Ro_n.T @ (tn_n - to_n)
+        trk_R = so3_mod.orthonormalize(st.track.R @ M_R)
+        trk_t = st.track.R @ M_t + st.track.t
+        track = st.track._replace(R=trk_R, t=trk_t,
+                                  vR=jnp.eye(3, dtype=jnp.float32),
+                                  vt=jnp.zeros(3, jnp.float32),
+                                  has_vel=jnp.bool_(False))
+
+        st = st._replace(kf_R=Rn, kf_t=tn, pt_pos=pt_pos, track=track,
+                         reuse_lid=cand_lid, reuse_ttl=REUSE_TTL)
+        ms = ms._replace(n_loops=ms.n_loops + 1, last_loop_lid=lid,
+                         streak=jnp.int32(0), cand_lid=jnp.int32(-1))
+        return st, ms
+
+    return jax.lax.cond(accepted, apply, lambda c: c, (st, ms))
+
+
+class Maintainer:
+    """Host-side wrapper: owns the device vocabulary arrays and the
+    jitted maintenance program."""
+
+    def __init__(self, cfg: SystemConfig, lim: rt.RTLimits, voc):
+        from . import vocabulary as voc_mod
+        self.cfg, self.lim, self.voc = cfg, lim, voc
+        self._depth = int(voc.depth)
+        self._n_words = int(voc.n_words)
+        # Device-resident vocabulary (ARGUMENTS of the jitted program, not
+        # closed-over constants — constants would be baked into the
+        # executable and re-shipped on every compile).
+        self._dev = (
+            jax.device_put(jnp.asarray(voc_mod._unpack(voc.node_desc))),
+            jax.device_put(jnp.asarray(voc.children)),
+            jax.device_put(jnp.asarray(voc.word_id)),
+            jax.device_put(jnp.asarray(voc.word_weight)))
+        self._step = jax.jit(
+            lambda st, ms, seed, nb, ch, wi, ww: maintenance_step(
+                st, ms, seed, nb, ch, wi, ww, cfg, lim, self._depth))
+
+    def init_state(self) -> MaintState:
+        K = self.lim.max_kf
+        i32 = jnp.int32
+        return MaintState(
+            kf_bow=jnp.zeros((K, self._n_words), jnp.float32),
+            bow_lid=jnp.full(K, -1, i32), bow_next=i32(0),
+            cand_lid=i32(-1), streak=i32(0), last_loop_lid=i32(-10 ** 6),
+            loop_log=jnp.zeros((LOG_ROWS, 6), jnp.float32),
+            n_events=i32(0), n_loops=i32(0), n_reloc=i32(0))
+
+    def step(self, st: rt.RTState, ms: MaintState, seed):
+        return self._step(st, ms, seed, *self._dev)
+
+    def report(self, ms: MaintState) -> dict:
+        """Session-end readback of the maintenance outcome."""
+        n_ev = int(ms.n_events)
+        log = np.asarray(ms.loop_log)[:min(n_ev, LOG_ROWS)]
+        return {
+            "loop_events": [
+                {"lid": int(r[0]), "cand_lid": int(r[1]),
+                 "score": float(r[2]), "n_pairs": int(r[3]),
+                 "n_inliers": int(r[4]), "applied": bool(r[5] > 0.5)}
+                for r in log],
+            "n_loop_events": n_ev,
+            "n_loops_closed": int(ms.n_loops),
+            "n_relocalizations": int(ms.n_reloc),
+        }

@@ -24,22 +24,34 @@ program):
     (Tracking.cc:1142-1212) — `_create_keyframe` below: chunked point
     arenas, one-hot matmuls instead of scatters (data-dependent
     scatters serialize on TPU).
+  * ORBmatcher::Fuse's track-extension case (ORBmatcher.cc:826-976) —
+    `_create_keyframe` first ASSOCIATES unmatched keypoints to existing
+    window landmarks by projection + Hamming before spawning, so a
+    missed per-frame match does not duplicate the landmark.
   * LocalMapping::Run's CreateNewMapPoints/LocalBundleAdjustment
     (LocalMapping.cc:208, Optimizer.cc:453) — a temporal-window
     `optim.local_ba.optimize_local_ba` fed entirely from device arenas;
     the observation table is built by pid-compare matmuls, not host
     bookkeeping.  RGB-D depth makes spawn-from-depth the dominant point
-    source (Tracking.cc:1142-1212); epipolar triangulation, fuse and
-    cull remain available in the host-orchestrated mode
-    (`slam.local_mapping`), which also serves loop closing and
-    relocalization.
+    source (Tracking.cc:1142-1212).  Points whose every window
+    observation fails the BA chi^2 gate are culled in-graph
+    (MapPointCulling semantics, LocalMapping.cc:171-206).
   * COEB dynamic front-end (Frame.cc:311-393, ORBextractor.cc:
     1116-1207) — `dynamic.dynamic_step`, already in-graph.
+  * LoopClosing + Relocalization live in `slam.maintenance`: a SECOND
+    small device program the host dispatches every few frames (still no
+    readback) that detects loops over device-resident BoW rows, solves
+    the closure, runs the Sim3 pose graph and remaps the point arenas.
 
-Capacity model: keyframes and points are bump-allocated (no recycling);
-`RTLimits` bounds one realtime session, sized for minutes of capture.
-The host-orchestrated mode remains the long-horizon / loop-closing
-path; `finish()` hands the arenas over for offline refinement.
+Capacity model: keyframes and points live in RING arenas — logical
+keyframe id `lid` is monotonic, physical row is ``lid % max_kf``, and a
+new keyframe evicts the tenant ``max_kf`` keyframes behind it (its point
+chunk is recycled with it).  Point ids are LOGICAL (``lid * S + slot``,
+never recycled), so a stale id can always be detected by comparing its
+chunk's logical owner against ``kf_lid``; physical storage is
+``pid % (max_kf * S)``.  The trajectory buffer is a true ring as well.
+`finish()` reports saturation honestly (frames dropped from the ring,
+keyframes evicted) instead of silently overwriting one row.
 """
 from __future__ import annotations
 
@@ -52,7 +64,7 @@ import jax.numpy as jnp
 
 from ..config import SystemConfig
 from ..geometry.se3 import SE3
-from ..ops import brief
+from ..ops import brief, matching as matching_ops
 from ..optim import local_ba
 from . import dynamic as dynamic_mod
 from . import frame as frame_mod
@@ -63,28 +75,29 @@ from .tracking import (DevTrackState, StepScalars, fused_step,
 
 class RTLimits(NamedTuple):
     """Static capacities of one realtime session (compile-time shapes)."""
-    max_kf: int = 64          # keyframe arena rows
-    spawn_per_kf: int = 256   # point-chunk size S; point id = kf*S + slot
+    max_kf: int = 64          # keyframe RING rows (window, not a wall)
+    spawn_per_kf: int = 256   # point-chunk size S; logical pid = lid*S + slot
     ba_window: int = 8        # keyframes jointly adjusted per insertion
     local_window: int = 12    # keyframe chunks visible to tracking
     max_frames: int = 4096    # trajectory ring capacity
+    reuse_chunks: int = 2     # extra chunks re-exposed after a loop closure
 
 
 class RTState(NamedTuple):
     """Everything the pipeline needs, resident on device."""
-    track: DevTrackState            # pose/velocity/ok/pids chain
+    track: DevTrackState            # pose/velocity/ok/pids chain (LOGICAL pids)
     dyn: dynamic_mod.DynState       # COEB sticky mask state
-    # keyframe arena (row per KF)
+    # keyframe ring (physical row = lid % K)
     kf_R: jnp.ndarray               # [K, 3, 3]
     kf_t: jnp.ndarray               # [K, 3]
-    kf_valid: jnp.ndarray           # [K] bool
+    kf_lid: jnp.ndarray             # [K] int32 logical tenant id (-1 empty)
     kf_obs: jnp.ndarray             # [K, N, 3] (u, v, ur) per keypoint
     kf_w: jnp.ndarray               # [K, N] inv_sigma2
     kf_kp_valid: jnp.ndarray        # [K, N] bool
-    kf_pid: jnp.ndarray             # [K, N] int32 flat point id (-1)
+    kf_pid: jnp.ndarray             # [K, N] int32 LOGICAL point id (-1)
     kf_frame: jnp.ndarray           # [K] int32 frame index of insertion
-    n_kf: jnp.ndarray               # int32
-    # point arena, chunked: point (k, s) lives at flat row k*S + s
+    n_kf: jnp.ndarray               # int32 — LOGICAL keyframe count (monotonic)
+    # point ring, chunked: logical point lid*S+s lives at row (lid%K)*S + s
     pt_pos: jnp.ndarray             # [K*S, 3]
     pt_desc: jnp.ndarray            # [K*S, 32] uint8 packed BRIEF
     pt_valid: jnp.ndarray           # [K*S] bool
@@ -102,6 +115,18 @@ class RTState(NamedTuple):
     consec_ok: jnp.ndarray          # int32
     strong_frames: jnp.ndarray      # int32
     n_lost: jnp.ndarray             # int32 consecutive lost frames
+    # newest frame stash (for relocalization in slam.maintenance)
+    fr_desc: jnp.ndarray            # [N, 32] uint8
+    fr_uv: jnp.ndarray              # [N, 2]
+    fr_depth: jnp.ndarray           # [N]
+    fr_valid: jnp.ndarray           # [N] bool
+    # loop-closure reuse window: chunks of this logical KF (and the next)
+    # are re-exposed to tracking after a closure (temporal-window revisit fix)
+    reuse_lid: jnp.ndarray          # int32 (-1 none)
+    reuse_ttl: jnp.ndarray          # int32 frames remaining
+    # in-graph health counters (surfaced by finish())
+    n_ba_culled: jnp.ndarray        # int32 points culled by the BA chi2 gate
+    n_assoc: jnp.ndarray            # int32 spawn-avoided (fused) associations
 
 
 def init_state(cfg: SystemConfig, lim: RTLimits) -> RTState:
@@ -117,7 +142,7 @@ def init_state(cfg: SystemConfig, lim: RTLimits) -> RTState:
     return RTState(
         track=track, dyn=dynamic_mod.init_dyn_state(cfg),
         kf_R=jnp.tile(jnp.eye(3, dtype=f32), (K, 1, 1)),
-        kf_t=jnp.zeros((K, 3), f32), kf_valid=jnp.zeros(K, bool),
+        kf_t=jnp.zeros((K, 3), f32), kf_lid=jnp.full(K, -1, i32),
         kf_obs=jnp.zeros((K, N, 3), f32), kf_w=jnp.ones((K, N), f32),
         kf_kp_valid=jnp.zeros((K, N), bool),
         kf_pid=jnp.full((K, N), -1, i32),
@@ -130,12 +155,48 @@ def init_state(cfg: SystemConfig, lim: RTLimits) -> RTState:
         traj=jnp.zeros((F, 13), f32), frame_idx=i32(0),
         frames_since_kf=i32(0), peak_inliers=i32(0),
         budget=i32(cfg.orb.n_features), consec_ok=i32(0),
-        strong_frames=i32(0), n_lost=i32(0))
+        strong_frames=i32(0), n_lost=i32(0),
+        fr_desc=jnp.zeros((N, 32), jnp.uint8),
+        fr_uv=jnp.zeros((N, 2), f32), fr_depth=jnp.zeros(N, f32),
+        fr_valid=jnp.zeros(N, bool),
+        reuse_lid=i32(-1), reuse_ttl=i32(0),
+        n_ba_culled=i32(0), n_assoc=i32(0))
 
 
 # --------------------------------------------------------------------- #
-# keyframe creation + windowed BA (one lax.cond branch)
+# logical <-> physical id arithmetic
 # --------------------------------------------------------------------- #
+
+
+def pid_phys(pids, lim: RTLimits):
+    """Physical arena row of a logical point id (callers mask validity)."""
+    return jnp.clip(pids, 0) % (lim.max_kf * lim.spawn_per_kf)
+
+
+def pid_alive(pids, kf_lid, lim: RTLimits):
+    """A logical pid is alive while its owner chunk's ring row still holds
+    the owning keyframe (the chunk is recycled together with the row)."""
+    owner = jnp.clip(pids, 0) // lim.spawn_per_kf         # logical KF id
+    return (pids >= 0) & (kf_lid[owner % lim.max_kf] == owner)
+
+
+def _rotate(a, k):
+    """Circular left-rotation by traced offset k (static shape; two slices
+    of a doubled buffer — no data-dependent scatter)."""
+    n = a.shape[0]
+    return jax.lax.dynamic_slice(
+        jnp.concatenate([a, a], axis=0), (k,) + (0,) * (a.ndim - 1),
+        (n,) + a.shape[1:])
+
+
+def _unrotate_update(a, chunk, k):
+    """Write ``chunk`` at circular offset ``k`` of ``a`` (wrap-safe
+    equivalent of dynamic_update_slice for ring buffers)."""
+    n = a.shape[0]
+    rolled = _rotate(a, k)
+    rolled = jax.lax.dynamic_update_slice(
+        rolled, chunk.astype(a.dtype), (0,) + (0,) * (a.ndim - 1))
+    return _rotate(rolled, n - k)
 
 
 def _unproject_world(cam, uv, depth, R_cw, t_cw):
@@ -146,21 +207,57 @@ def _unproject_world(cam, uv, depth, R_cw, t_cw):
     return (pc - t_cw) @ R_cw        # R_cw^T (pc - t) rowwise
 
 
-def _create_keyframe(st: RTState, fd, spawn_ok, pose: SE3,
-                     cfg: SystemConfig, lim: RTLimits) -> RTState:
-    """Insert the current frame as keyframe row n_kf and spawn map points
-    for close-depth unassociated keypoints (Tracking.cc:1142-1212) —
-    all writes are dynamic_update_slice row/chunk updates; the N->S
-    compaction is a one-hot matmul (a gather-free scatter substitute:
-    TPU serializes data-dependent scatters but eats a [S, N] matmul).
+# --------------------------------------------------------------------- #
+# keyframe creation + windowed BA (one lax.cond branch)
+# --------------------------------------------------------------------- #
+
+
+def _create_keyframe(st: RTState, fd, spawn_ok, pose: SE3, local_ids,
+                     local_alive, cfg: SystemConfig, lim: RTLimits
+                     ) -> RTState:
+    """Insert the current frame as keyframe ``lid = n_kf`` (ring row
+    ``lid % K``) and spawn map points for close-depth unassociated
+    keypoints (Tracking.cc:1142-1212) — all writes are
+    dynamic_update_slice row/chunk updates; the N->S compaction is an
+    argmax-over-one-hot gather (gather-free scatter substitute: TPU
+    serializes data-dependent scatters).
+
+    Before spawning, unmatched keypoints are ASSOCIATED to existing
+    local-window landmarks by projection + Hamming (Fuse's
+    track-extension case, ORBmatcher.cc:826): without this every missed
+    per-frame match would duplicate its landmark in the new chunk.
     """
     cam = cfg.camera
-    S = lim.spawn_per_kf
+    K, S = lim.max_kf, lim.spawn_per_kf
+    P = K * S
     feats = fd.feats
-    k = jnp.minimum(st.n_kf, lim.max_kf - 1)
+    k_log = st.n_kf
+    k_phys = k_log % K
+
+    # ---- fuse-by-association (ORBmatcher::Fuse extend-track case)
+    lw_phys = pid_phys(local_ids, lim)
+    pt_live = local_alive & st.pt_valid[lw_phys]
+    pos_w = st.pt_pos[lw_phys]
+    pc = pos_w @ pose.R.T + pose.t
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    pu = cam.fx * pc[:, 0] / z + cam.cx
+    pv = cam.fy * pc[:, 1] / z + cam.cy
+    vis = pt_live & (pc[:, 2] > 0.05) & (pu >= 0) & (pu < cam.width) \
+        & (pv >= 0) & (pv < cam.height)
+    sd_kp = feats.signed_desc()
+    sd_pt = brief.to_signed(brief.unpack_bits(st.pt_desc[lw_phys]))
+    ham = matching_ops.hamming_matrix(sd_kp, sd_pt)        # [N, L]
+    near = (jnp.abs(pu[None, :] - feats.uv[:, :1]) <= 2.5) \
+        & (jnp.abs(pv[None, :] - feats.uv[:, 1:2]) <= 2.5) & vis[None, :]
+    ham = jnp.where(near, ham, 1e9)
+    jbest = jnp.argmin(ham, axis=1)
+    dbest = jnp.min(ham, axis=1)
+    assoc = (st.track.pids < 0) & feats.valid \
+        & (dbest <= cfg.matcher.th_low)
+    pids0 = jnp.where(assoc, local_ids[jbest], st.track.pids)
 
     # ---- spawn selection (close depth, unmatched, outside moving boxes)
-    spawn = (feats.valid & (st.track.pids < 0) & (fd.depth > 0)
+    spawn = (feats.valid & (pids0 < 0) & (fd.depth > 0)
              & (fd.depth < cam.depth_threshold) & spawn_ok)
     rank = jnp.cumsum(spawn.astype(jnp.int32)) - 1
     take = spawn & (rank < S)
@@ -190,7 +287,7 @@ def _create_keyframe(st: RTState, fd, spawn_ok, pose: SE3,
     maxd = jnp.where(valid_c, maxd, 0.0)
     mind = jnp.where(valid_c, mind, 1e3)
 
-    base = k * S
+    base = k_phys * S            # chunk offset (recycles the evicted KF's)
     upd = lambda arr, chunk: jax.lax.dynamic_update_slice(
         arr, chunk.astype(arr.dtype), (base,) + (0,) * (arr.ndim - 1))
     pt_pos = upd(st.pt_pos, pos_c)
@@ -201,29 +298,30 @@ def _create_keyframe(st: RTState, fd, spawn_ok, pose: SE3,
     pt_mind = upd(st.pt_mind, mind)
     pt_maxd = upd(st.pt_maxd, maxd)
 
-    pid_frame = jnp.where(take, base + rank, st.track.pids)
+    pid_frame = jnp.where(take, k_log * S + rank, pids0)   # LOGICAL ids
 
-    # ---- keyframe row
+    # ---- keyframe ring row (evicts the tenant K keyframes behind)
     row = lambda arr, v: jax.lax.dynamic_update_slice(
-        arr, v[None].astype(arr.dtype), (k,) + (0,) * (arr.ndim - 1))
+        arr, v[None].astype(arr.dtype), (k_phys,) + (0,) * (arr.ndim - 1))
     kf_R = row(st.kf_R, pose.R)
     kf_t = row(st.kf_t, pose.t)
-    kf_valid = st.kf_valid.at[k].set(True)  # static-width row flag
+    kf_lid = st.kf_lid.at[k_phys].set(k_log)
     kf_obs = row(st.kf_obs, fd.obs)
     kf_w = row(st.kf_w, fd.inv_sigma2)
     kf_kp_valid = row(st.kf_kp_valid, feats.valid)
     kf_pid = row(st.kf_pid, pid_frame)
-    kf_frame = st.kf_frame.at[k].set(st.frame_idx)
+    kf_frame = st.kf_frame.at[k_phys].set(st.frame_idx)
 
     st = st._replace(
-        kf_R=kf_R, kf_t=kf_t, kf_valid=kf_valid, kf_obs=kf_obs,
+        kf_R=kf_R, kf_t=kf_t, kf_lid=kf_lid, kf_obs=kf_obs,
         kf_w=kf_w, kf_kp_valid=kf_kp_valid, kf_pid=kf_pid,
-        kf_frame=kf_frame, n_kf=jnp.minimum(st.n_kf + 1, lim.max_kf),
+        kf_frame=kf_frame, n_kf=k_log + 1,
         pt_pos=pt_pos, pt_desc=pt_desc, pt_valid=pt_valid,
         pt_angle=pt_angle, pt_normal=pt_normal, pt_mind=pt_mind,
         pt_maxd=pt_maxd,
         track=st.track._replace(pids=pid_frame),
-        frames_since_kf=jnp.int32(0), peak_inliers=jnp.int32(0))
+        frames_since_kf=jnp.int32(0), peak_inliers=jnp.int32(0),
+        n_assoc=st.n_assoc + assoc.sum().astype(jnp.int32))
     return _windowed_ba(st, cfg, lim)
 
 
@@ -234,36 +332,41 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
     camera they coincide, and the device never needs the host's graph).
 
     The [P, M] observation table is built by comparing each window
-    keyframe's pid row against the window's point-id range — a dense
-    [N, P] equality matmul per window slot, no scatter, no host.
+    keyframe's pid row against the window's LOGICAL point-id range — a
+    dense [N, P] equality matmul per window slot, no scatter, no host.
+    Logical ids never recycle, so the compare cannot alias an evicted
+    chunk's tenant.  Points whose every window observation fails the
+    chi^2 gate are culled (MapPointCulling, LocalMapping.cc:171-206).
     """
-    W, S = lim.ba_window, lim.spawn_per_kf
+    W, S, K = lim.ba_window, lim.spawn_per_kf, lim.max_kf
     P = W * S
+    PT = K * S
     N = st.kf_pid.shape[1]
-    k_new = st.n_kf - 1                       # newest KF row
+    k_new = st.n_kf - 1                       # newest logical KF
     start_kf = jnp.maximum(k_new - W + 1, 0)
-    base = start_kf * S
+    base_log = start_kf * S
+    base_phys = (start_kf % K) * S
 
-    wks = start_kf + jnp.arange(W)            # window rows (may exceed new)
+    wks = start_kf + jnp.arange(W)            # window logical ids
     wvalid = wks <= k_new
     wks_c = jnp.minimum(wks, k_new)
+    rows_c = wks_c % K                        # ring rows
 
-    kf_R_w = st.kf_R[wks_c]
-    kf_t_w = st.kf_t[wks_c]
+    kf_R_w = st.kf_R[rows_c]
+    kf_t_w = st.kf_t[rows_c]
     # Anchor: the oldest window KF is fixed (plus KF 0 always — gauge).
     kf_fixed = (jnp.arange(W) == 0) | ~wvalid | (wks_c == 0)
 
-    pslice = lambda arr: jax.lax.dynamic_slice(
-        arr, (base,) + (0,) * (arr.ndim - 1), (P,) + arr.shape[1:])
-    pt_pos_w = pslice(st.pt_pos)
-    pt_valid_w = pslice(st.pt_valid)
+    win_phys = (base_phys + jnp.arange(P)) % PT   # physical rows (wrap-safe)
+    pt_pos_w = st.pt_pos[win_phys]
+    pt_valid_w = st.pt_valid[win_phys]
 
-    pid_rows = st.kf_pid[wks_c]               # [W, N]
-    kpv_rows = st.kf_kp_valid[wks_c] & wvalid[:, None]
-    obs_rows = st.kf_obs[wks_c]               # [W, N, 3]
-    w_rows = st.kf_w[wks_c]
+    pid_rows = st.kf_pid[rows_c]              # [W, N] logical
+    kpv_rows = st.kf_kp_valid[rows_c] & wvalid[:, None]
+    obs_rows = st.kf_obs[rows_c]              # [W, N, 3]
+    w_rows = st.kf_w[rows_c]
 
-    win_ids = base + jnp.arange(P)            # flat ids of window points
+    win_ids = base_log + jnp.arange(P)        # LOGICAL ids of window points
 
     # For each (window slot w, window point p): the keypoint index in KF w
     # observing p, or -1.  hit[w, n, p] one-hot over n.
@@ -296,10 +399,19 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
         keep = kf_fixed[w]
         Rw = jnp.where(keep, kf_R_w[w], res.kf_R[w])
         tw = jnp.where(keep, kf_t_w[w], res.kf_t[w])
-        kf_R = jax.lax.dynamic_update_slice(kf_R, Rw[None], (wks_c[w], 0, 0))
-        kf_t = jax.lax.dynamic_update_slice(kf_t, tw[None], (wks_c[w], 0))
+        kf_R = jax.lax.dynamic_update_slice(kf_R, Rw[None], (rows_c[w], 0, 0))
+        kf_t = jax.lax.dynamic_update_slice(kf_t, tw[None], (rows_c[w], 0))
     new_pos = jnp.where(pt_valid_w[:, None], res.pt_pos, pt_pos_w)
-    pt_pos = jax.lax.dynamic_update_slice(st.pt_pos, new_pos, (base, 0))
+    pt_pos = _unrotate_update(st.pt_pos, new_pos, base_phys)
+
+    # In-graph point culling: a window point that HAD observations but lost
+    # every one to the chi^2 gate is a bad landmark (moving object residue
+    # or a depth outlier) — MapPointCulling semantics without host lists.
+    had = obs_valid.any(axis=1)
+    kept = res.obs_valid.any(axis=1) if hasattr(res, "obs_valid") else had
+    cull = had & ~kept & pt_valid_w
+    new_valid_w = pt_valid_w & ~cull
+    pt_valid = _unrotate_update(st.pt_valid, new_valid_w, base_phys)
 
     # The live pose adopts the newest KF's refinement so the next frame's
     # prediction doesn't fight the adjusted map (Tracking.cc:558-574's
@@ -308,7 +420,10 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
     newR = jnp.where(kf_fixed[iw_new], kf_R_w[iw_new], res.kf_R[iw_new])
     newt = jnp.where(kf_fixed[iw_new], kf_t_w[iw_new], res.kf_t[iw_new])
     track = st.track._replace(R=newR, t=newt)
-    return st._replace(kf_R=kf_R, kf_t=kf_t, pt_pos=pt_pos, track=track)
+    return st._replace(kf_R=kf_R, kf_t=kf_t, pt_pos=pt_pos,
+                       pt_valid=pt_valid, track=track,
+                       n_ba_culled=st.n_ba_culled
+                       + cull.sum().astype(jnp.int32))
 
 
 # --------------------------------------------------------------------- #
@@ -321,7 +436,8 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     """One sensor frame end-to-end.  Jittable; zero host transfers."""
     cam = cfg.camera
     t_cfg = cfg.tracking
-    S = lim.spawn_per_kf
+    K, S = lim.max_kf, lim.spawn_per_kf
+    PT = K * S
 
     g = gray.astype(jnp.float32)
     if jnp.issubdtype(depth.dtype, jnp.integer):
@@ -336,18 +452,46 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     fd, spawn_ok, dyn2, _info = dynamic_mod.dynamic_step(
         fd, g, st.dyn, boxes, key, cfg)
 
-    # Tracking local map = the last `local_window` keyframe chunks.
-    L = lim.local_window * S
+    # Tracking local map = the last `local_window` keyframe chunks, plus
+    # the loop-closure reuse window (revisit chunks re-exposed by the
+    # maintenance program — the temporal window alone cannot re-match a
+    # place seen 50 keyframes ago).
+    Lw = lim.local_window * S
     k_new = jnp.maximum(st.n_kf - 1, 0)
     lstart = jnp.maximum((k_new - lim.local_window + 1), 0) * S
-    local_ids = lstart + jnp.arange(L)
-    local_valid = local_ids < st.n_kf * S
+    temporal_ids = lstart + jnp.arange(Lw)
+    temporal_valid = temporal_ids < st.n_kf * S
+
+    Rw = lim.reuse_chunks * S
+    reuse_ids = jnp.clip(st.reuse_lid, 0) * S + jnp.arange(Rw)
+    reuse_on = (st.reuse_lid >= 0) & (st.reuse_ttl > 0)
+    reuse_valid = reuse_on & (reuse_ids < st.n_kf * S) \
+        & pid_alive(reuse_ids, st.kf_lid, lim)
+
+    local_ids = jnp.concatenate([temporal_ids, reuse_ids])
+    local_alive = jnp.concatenate([temporal_valid, reuse_valid])
+    local_phys = pid_phys(local_ids, lim)
 
     pt_sd = brief.to_signed(brief.unpack_bits(st.pt_desc))
     arena = (st.pt_pos, pt_sd, st.pt_valid, st.pt_angle, st.pt_normal,
              st.pt_mind, st.pt_maxd)
     gate = 1.0 + st.n_lost.astype(jnp.float32)
-    out = fused_step(fd, st.track, local_ids, local_valid, arena, gate, cfg)
+
+    # fused_step indexes the arena with PHYSICAL rows; its candidate chain
+    # (state.pids) must be physical too, with evicted chunks masked out.
+    pids_log = st.track.pids
+    alive_in = pid_alive(pids_log, st.kf_lid, lim)
+    track_in = st.track._replace(
+        pids=jnp.where(alive_in, pid_phys(pids_log, lim), -1))
+    out = fused_step(fd, track_in, local_phys, local_alive, arena, gate, cfg)
+
+    # Translate returned physical pids back to logical via the chunk's
+    # current tenant (exact: a chunk visible to matching IS its tenant's).
+    def to_logical(phys):
+        owner = st.kf_lid[jnp.clip(phys, 0) // S % K]
+        return jnp.where(phys >= 0, owner * S + jnp.clip(phys, 0) % S, -1)
+
+    track2 = out.state._replace(pids=to_logical(out.state.pids))
 
     vec = out.scalars.vec
     ok = vec[_V_OK] > 0.5
@@ -357,13 +501,14 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
 
     first = st.n_kf == 0
     enough = fd.feats.valid.sum() >= 500
-    pose = SE3(jnp.where(first, jnp.eye(3), out.state.R),
-               jnp.where(first, jnp.zeros(3), out.state.t))
+    pose = SE3(jnp.where(first, jnp.eye(3), track2.R),
+               jnp.where(first, jnp.zeros(3), track2.t))
     ok = ok | (first & enough)
-    track = out.state._replace(R=pose.R, t=pose.t, ok=ok)
+    track = track2._replace(R=pose.R, t=pose.t, ok=ok)
 
     # ---- keyframe policy (NeedNewKeyFrame, Tracking.cc:1049-1140;
-    # mapper is inline so bLocalMappingIdle is always true).
+    # mapper is inline so bLocalMappingIdle is always true).  The ring
+    # arena never fills — an insertion recycles the row K keyframes back.
     peak = jnp.maximum(st.peak_inliers, n_inl)
     fsk = st.frames_since_kf + 1
     need_close = (tracked_close < 100) & (untracked_close > 70)
@@ -372,15 +517,18 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     c1a = fsk >= t_cfg.max_frames_between_kf
     c1b = fsk >= t_cfg.min_frames_between_kf
     c2 = ((n_inl < (ratio * peak.astype(jnp.float32))) | need_close)
-    need_kf = ok & (n_inl > t_cfg.min_inliers_kf) \
-        & (c1a | (c1b & c2)) & (st.n_kf < lim.max_kf)
+    need_kf = ok & (n_inl > t_cfg.min_inliers_kf) & (c1a | (c1b & c2))
     need_kf = need_kf | (first & enough)
 
     st = st._replace(track=track, dyn=dyn2, peak_inliers=peak,
-                     frames_since_kf=fsk)
+                     frames_since_kf=fsk,
+                     fr_desc=fd.feats.desc, fr_uv=fd.feats.uv,
+                     fr_depth=fd.depth, fr_valid=fd.feats.valid,
+                     reuse_ttl=jnp.maximum(st.reuse_ttl - 1, 0))
     st = jax.lax.cond(
         need_kf,
-        lambda s: _create_keyframe(s, fd, spawn_ok, pose, cfg, lim),
+        lambda s: _create_keyframe(s, fd, spawn_ok, pose, local_ids,
+                                   local_alive, cfg, lim),
         lambda s: s, st)
 
     # ---- COEB adaptive feature budget (Tracking.cc:417-466), in-graph.
@@ -402,10 +550,11 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
             strong_frames=jnp.where(weak | decay, 0, strong))
     st = st._replace(n_lost=jnp.where(ok, 0, st.n_lost + 1))
 
-    # ---- trajectory ring
+    # ---- trajectory ring (true ring: frame f lives at f % F; finish()
+    # unwraps and reports how many early frames the ring dropped)
     row = jnp.concatenate([ok.astype(jnp.float32)[None],
                            st.track.R.reshape(9), st.track.t])
-    fi = jnp.minimum(st.frame_idx, lim.max_frames - 1)
+    fi = st.frame_idx % lim.max_frames
     traj = jax.lax.dynamic_update_slice(st.traj, row[None], (fi, 0))
     return st._replace(traj=traj, frame_idx=st.frame_idx + 1)
 
@@ -416,7 +565,8 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
 
 
 class RealtimeSlam:
-    """Dispatch-only host loop around `rt_step`.
+    """Dispatch-only host loop around `rt_step` (+ the optional
+    `slam.maintenance` loop-closing/relocalization program).
 
     track() uploads one frame and dispatches; nothing synchronizes.
     finish() does the session's only readback and returns trajectory +
@@ -431,7 +581,8 @@ class RealtimeSlam:
     pipeline_depth = 8
 
     def __init__(self, cfg: SystemConfig, lim: Optional[RTLimits] = None,
-                 detector=None, detect_every: int = 10):
+                 detector=None, detect_every: int = 10,
+                 vocabulary=None, maintain_every: int = 8):
         """Args:
           detector: optional models.detector.YoloDetector — dispatched
             in-stream every ``detect_every`` frames; its device boxes
@@ -442,11 +593,16 @@ class RealtimeSlam:
             separate executable by necessity: its conv stack compiles to
             ~87 MB of TPU code, past this backend's executable-retention
             budget, so running it every frame evicts the SLAM program.)
+          vocabulary: optional slam.vocabulary.Vocabulary — enables the
+            in-graph maintenance program (BoW loop closing +
+            relocalization, slam/maintenance.py), dispatched every
+            ``maintain_every`` frames with no readback.
         """
         self.cfg = cfg
         self.lim = lim or RTLimits()
         self.detector = detector
         self.detect_every = max(int(detect_every), 1)
+        self.maintain_every = max(int(maintain_every), 1)
         self.state = init_state(cfg, self.lim)
         self.stamps = []
         self._seed = 0
@@ -461,6 +617,13 @@ class RealtimeSlam:
             lambda g, d, b, s, st: rt_step(g, d, b, s, st, cfg, self.lim))
         nb = cfg.dynamic.max_boxes
         self._no_boxes = jnp.full((nb, 4), -1.0, jnp.float32)
+
+        self.maint = None
+        self.mstate = None
+        if vocabulary is not None:
+            from . import maintenance
+            self.maint = maintenance.Maintainer(cfg, self.lim, vocabulary)
+            self.mstate = self.maint.init_state()
 
     def track(self, gray, depth, stamp: float, boxes=None) -> None:
         if self.detector is not None \
@@ -478,6 +641,10 @@ class RealtimeSlam:
                                 np.uint32(self._seed), self.state)
         self.stamps.append(stamp)
         self._seed += 1
+        if self.maint is not None \
+                and len(self.stamps) % self.maintain_every == 0:
+            self.state, self.mstate = self.maint.step(
+                self.state, self.mstate, np.uint32(self._seed))
         self._since_sync += 1
         if self._since_sync >= self.pipeline_depth:
             jax.block_until_ready(self.state.track.ok)
@@ -489,21 +656,42 @@ class RealtimeSlam:
 
     def finish(self) -> dict:
         """THE readback: trajectory (Twc centers derivable), keyframes and
-        the point map, as numpy."""
+        the point map, as numpy — plus honest saturation/health counters."""
         st = self.state
-        n = min(len(self.stamps), self.lim.max_frames)
-        traj = np.asarray(st.traj)[:n]
+        F = self.lim.max_frames
+        total = len(self.stamps)
+        n_dropped = max(0, total - F)
+        traj = np.asarray(st.traj)
+        if total <= F:
+            traj = traj[:total]
+        else:
+            # unwrap the ring: oldest surviving frame first
+            traj = np.roll(traj, -(total % F), axis=0)
+        stamps = np.asarray(self.stamps[n_dropped:])
         n_kf = int(st.n_kf)
-        return {
-            "stamps": np.asarray(self.stamps[:n]),
+        kf_lid = np.asarray(st.kf_lid)
+        live = kf_lid >= 0
+        order = np.argsort(kf_lid[live])     # oldest -> newest
+        rows = np.nonzero(live)[0][order]
+        out = {
+            "stamps": stamps,
             "ok": traj[:, 0] > 0.5,
             "R": traj[:, 1:10].reshape(-1, 3, 3),
             "t": traj[:, 10:13],
             "n_kf": n_kf,
-            "kf_R": np.asarray(st.kf_R)[:n_kf],
-            "kf_t": np.asarray(st.kf_t)[:n_kf],
-            "kf_frame": np.asarray(st.kf_frame)[:n_kf],
+            "n_kf_live": int(live.sum()),
+            "kf_evicted": max(0, n_kf - self.lim.max_kf),
+            "frames_dropped": n_dropped,
+            "kf_R": np.asarray(st.kf_R)[rows],
+            "kf_t": np.asarray(st.kf_t)[rows],
+            "kf_frame": np.asarray(st.kf_frame)[rows],
+            "kf_lid": kf_lid[rows],
             "pt_pos": np.asarray(st.pt_pos),
             "pt_valid": np.asarray(st.pt_valid),
             "budget": int(st.budget),
+            "n_ba_culled": int(st.n_ba_culled),
+            "n_assoc": int(st.n_assoc),
         }
+        if self.maint is not None:
+            out.update(self.maint.report(self.mstate))
+        return out

@@ -256,6 +256,13 @@ def fused_step(fd: FrameData, state: DevTrackState, local_ids, local_valid,
     #   3: tight re-match from the refined pose; best of 2/3 wins.
     L = local_ids.shape[0]
     N = state.pids.shape[0]
+    # The previous frame's candidate set is padded to the local-map length
+    # below with [:L]; a local map SHORTER than the keypoint budget would
+    # silently truncate stage-0/1 candidates.  Static shapes, so this is a
+    # trace-time check (free at runtime).
+    assert L >= N, (
+        f"local map capacity ({L}) must be >= max keypoints ({N}): "
+        "stage-0 tracking candidates would be truncated")
     s1_ids = jnp.concatenate(
         [jnp.clip(state.pids, 0), jnp.zeros(max(L - N, 0), jnp.int32)])[:L]
     s1_valid = jnp.concatenate(
@@ -264,7 +271,15 @@ def fused_step(fd: FrameData, state: DevTrackState, local_ids, local_valid,
     r_mm = cfg.matcher.radius_motion_model
     stage_ids = jnp.stack([s1_ids, s1_ids, local_ids, local_ids])
     stage_idv = jnp.stack([s1_valid, s1_valid, local_valid, local_valid])
-    stage_r = jnp.asarray([r_mm, 2.0 * r_mm, 16.0, 6.0], jnp.float32)
+    # Stage-1 retry matches the HOST recovery search width (50 px,
+    # Tracker._recover) and widens with the outage gate: a fast yaw can
+    # shift features ~35 px in ONE frame with no velocity model yet, and
+    # a search that only grows as fast as the offset never re-attaches.
+    # Radii are mask parameters (traced floats), so widening is free.
+    widen = jnp.minimum(gate_scale, 3.0)
+    r1 = jnp.maximum(2.0 * r_mm, 50.0) * widen
+    stage_r = jnp.stack([jnp.float32(r_mm), r1, 16.0 * widen,
+                         jnp.float32(6.0)])
     # Pose source per stage: 0 = motion prediction, 1 = last pose
     # (retry), 2 = carry (previous stage's adopted pose).
     stage_src = jnp.asarray([0, 1, 2, 2], jnp.int32)
