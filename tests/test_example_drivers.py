@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e module (fast tier: -m 'not slow')
+
 from coebslam_tpu.config import CameraConfig, OrbConfig, SystemConfig
 from coebslam_tpu.geometry.se3 import SE3
 from coebslam_tpu.utils import synthetic

@@ -2,6 +2,7 @@
 and the arena-level driver (Optimizer::GlobalBundleAdjustemnt parity,
 Optimizer.cc:41-237)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -83,6 +84,7 @@ class TestChunkedSchur:
         assert err_t.max() < 2e-3, err_t
 
 
+@pytest.mark.slow
 class TestGlobalBADriver:
     def test_arena_gba_fixes_perturbation(self):
         """Track a short synthetic sequence, corrupt all non-anchor KF poses

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e module (fast tier: -m 'not slow')
+
 from coebslam_tpu.config import (CameraConfig, MapConfig, OrbConfig,
                                  SystemConfig, TrackingConfig)
 from coebslam_tpu.eval import ate

@@ -57,6 +57,7 @@ class TestUndistortWiring:
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 class TestDistortedTracking:
     def test_tracking_accuracy_under_distortion(self):
         """Render ideal pinhole frames, remap them through the distortion

@@ -164,6 +164,7 @@ class TestOrbvocText:
             np.testing.assert_array_equal(w2, words_h)
 
 
+@pytest.mark.slow
 class TestRelocalizationE2E:
     def test_relocalize_after_blackout(self, world, vocab):
         """Track, lose tracking on black frames, recover by BoW reloc."""

@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e module (fast tier: -m 'not slow')
+
 from coebslam_tpu.models import yolov5
 from coebslam_tpu.config import DetectorConfig, DynamicConfig
 
