@@ -300,7 +300,7 @@ def _gn_iteration(prob: BAProblem, cam: CameraConfig, use_huber,
 
 def _gn_iteration_chunked(prob: BAProblem, cam: CameraConfig, use_huber,
                           chi2_mono: float, chi2_stereo: float,
-                          damping: float, n_blocks: int):
+                          damping: float, n_blocks: int, reduce_fn=None):
     """One GN step over a problem too large for a single assembly: the
     point axis is processed in ``n_blocks`` blocks under ``lax.scan`` —
     pass 1 accumulates the reduced camera system (the Schur cross terms are
@@ -330,6 +330,11 @@ def _gn_iteration_chunked(prob: BAProblem, cam: CameraConfig, use_huber,
 
     init = (jnp.zeros((K, K, 6, 6)), jnp.zeros((K, 6)))
     (S, b), _ = jax.lax.scan(acc, init, jnp.arange(n_blocks))
+    if reduce_fn is not None:
+        # Distributed assembly: each device's point shard contributed its
+        # partial reduced camera system; one psum merges them over ICI and
+        # the dense solve below runs replicated (SURVEY §5.8).
+        S, b = reduce_fn(S, b)
     dxi = _solve_cameras(S, b, prob.kf_fixed, prob.kf_valid, damping)
 
     def back(_, i):
@@ -345,15 +350,21 @@ def _gn_iteration_chunked(prob: BAProblem, cam: CameraConfig, use_huber,
 
 
 def optimize_global_ba(prob: BAProblem, cam: CameraConfig,
-                       cfg: OptimizerConfig, n_blocks: int = 8) -> BAResult:
+                       cfg: OptimizerConfig, n_blocks: int = 8,
+                       reduce_fn=None) -> BAResult:
     """Full-map bundle adjustment (GlobalBundleAdjustemnt, Optimizer.cc:41):
     every keyframe and point in one problem, point blocks streamed through
     the Schur assembly under lax.scan so HBM stays bounded.  The reference
-    runs 10 LM iterations with Huber kernels (LoopClosing.cc:651)."""
+    runs 10 LM iterations with Huber kernels (LoopClosing.cc:651).
+
+    ``reduce_fn``: distributed-assembly hook (see _gn_iteration) — under
+    shard_map with points sharded, each device streams only its shard's
+    blocks and one psum per iteration merges the camera system."""
     def body(_, pr):
         return _gn_iteration_chunked(pr, cam, jnp.bool_(True),
                                      cfg.chi2_mono, cfg.chi2_stereo,
-                                     damping=1e-5, n_blocks=n_blocks)
+                                     damping=1e-5, n_blocks=n_blocks,
+                                     reduce_fn=reduce_fn)
 
     prob = jax.lax.fori_loop(0, cfg.global_ba_iters, body, prob)
     e, _, _, is_stereo = _residuals_jacobians(prob, cam)

@@ -52,11 +52,17 @@ def _edge_residual(xi_i, xi_j, Si: Sim3, Sj: Sim3, Smeas: Sim3):
 
 def optimize_pose_graph(prob: PoseGraphProblem, cfg: OptimizerConfig,
                         n_iters: int = None,
-                        fix_scale: bool = False) -> PoseGraphProblem:
+                        fix_scale: bool = False,
+                        reduce_fn=None) -> PoseGraphProblem:
     """Run GN with per-iteration relinearization.  Returns updated nodes.
 
     ``fix_scale``: constrain every node's scale to its current value (RGB-D/
-    stereo — the reference's bFixScale essential graph)."""
+    stereo — the reference's bFixScale essential graph).
+    ``reduce_fn(H, b)``: distributed-assembly hook — under shard_map with
+    the EDGE axis sharded, each device scatter-adds its edge shard's 7x7
+    blocks into a local [K,K,7,7] system, one psum merges them over ICI,
+    and the dense solve runs replicated (SURVEY §5.8: pose-graph solves
+    as collectives; node count K is small, edges scale with the map)."""
     K = prob.s.shape[0]
     iters = cfg.essential_graph_iters if n_iters is None else n_iters
 
@@ -88,6 +94,8 @@ def optimize_pose_graph(prob: PoseGraphProblem, cfg: OptimizerConfig,
         H = H.at[jj, ii].add(jnp.einsum("eri,e,erj->eij", Jj, w, Ji))
         b = b.at[ii].add(-jnp.einsum("eri,e,er->ei", Ji, w, r))
         b = b.at[jj].add(-jnp.einsum("eri,e,er->ei", Jj, w, r))
+        if reduce_fn is not None:
+            H, b = reduce_fn(H, b)
 
         free = (~prob.fixed) & prob.valid
         f = free.astype(H.dtype)

@@ -62,3 +62,64 @@ def optimize_sharded(prob: BAProblem, cam: CameraConfig,
         return local_ba.optimize_local_ba(p, cam, cfg, reduce_fn=reduce_fn)
 
     return shard_map(device_fn, mesh, in_specs, out_specs)(prob)
+
+
+def optimize_global_sharded(prob: BAProblem, cam: CameraConfig,
+                            cfg: OptimizerConfig, mesh: Mesh,
+                            axis: str = POINT_AXIS,
+                            n_blocks_per_device: int = 2) -> BAResult:
+    """Distributed GLOBAL bundle adjustment (Optimizer.cc:41-237 at map
+    scale, SURVEY §5.8): the point axis is sharded over the mesh; each
+    device streams its shard through the chunked Schur assembly
+    (lax.scan, HBM-bounded) and one psum per GN iteration merges the
+    [K,6,6]-block reduced camera system over ICI.  Point back-
+    substitution is device-local.  This is exactly where one chip runs
+    out of map: communication stays one psum per iteration no matter how
+    many points each device holds."""
+    rep = PartitionSpec()
+    shard = PartitionSpec(axis)
+    in_specs = (BAProblem(
+        kf_R=rep, kf_t=rep, kf_fixed=rep, kf_valid=rep,
+        pt_pos=shard, pt_valid=shard, obs_kf=shard, obs_uvr=shard,
+        obs_w=shard, obs_valid=shard),)
+    out_specs = BAResult(kf_R=rep, kf_t=rep, pt_pos=shard,
+                         obs_valid=shard, chi2=shard)
+
+    def device_fn(p: BAProblem) -> BAResult:
+        reduce_fn = lambda S, b: (jax.lax.psum(S, axis),
+                                  jax.lax.psum(b, axis))
+        return local_ba.optimize_global_ba(
+            p, cam, cfg, n_blocks=n_blocks_per_device, reduce_fn=reduce_fn)
+
+    return shard_map(device_fn, mesh, in_specs, out_specs)(prob)
+
+
+def optimize_pose_graph_sharded(prob, cfg: OptimizerConfig, mesh: Mesh,
+                                axis: str = POINT_AXIS,
+                                fix_scale: bool = False):
+    """Distributed essential-graph solve (Optimizer.cc:781-1044, SURVEY
+    §5.8): EDGES are sharded over the mesh (nodes are few, edges scale
+    with covisibility + loop density); each device scatter-adds its edge
+    shard's 7x7 Jacobian blocks into a local [K,K,7,7] normal system and
+    one psum per GN iteration merges it.  The tiny dense solve runs
+    replicated, so every device ends with identical corrected poses."""
+    from ..optim import pose_graph as pg
+
+    rep = PartitionSpec()
+    shard = PartitionSpec(axis)
+    in_specs = (pg.PoseGraphProblem(
+        s=rep, R=rep, t=rep, fixed=rep, valid=rep,
+        edge_i=shard, edge_j=shard, edge_s=shard, edge_R=shard,
+        edge_t=shard, edge_valid=shard, edge_weight=shard),)
+    out_specs = pg.PoseGraphProblem(
+        s=rep, R=rep, t=rep, fixed=rep, valid=rep,
+        edge_i=shard, edge_j=shard, edge_s=shard, edge_R=shard,
+        edge_t=shard, edge_valid=shard, edge_weight=shard)
+
+    def device_fn(p):
+        reduce_fn = lambda H, b: (jax.lax.psum(H, axis),
+                                  jax.lax.psum(b, axis))
+        return pg.optimize_pose_graph(p, cfg, fix_scale=fix_scale,
+                                      reduce_fn=reduce_fn)
+
+    return shard_map(device_fn, mesh, in_specs, out_specs)(prob)

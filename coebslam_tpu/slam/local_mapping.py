@@ -227,7 +227,14 @@ class LocalMapper:
                 idx2 = jnp.take_along_axis(res.idx2, sel, axis=1)
                 pts = jnp.take_along_axis(
                     res.points, sel[..., None], axis=1)
-                return sel, good, idx2, pts
+                # ONE output leaf: device->host transfers pay ~70-140 ms
+                # LATENCY each on the degraded client regardless of size
+                # (docs/TPU_BACKEND_NOTES.md §1), so a 4-leaf result costs
+                # 4x what this [B, K, 6] pack does.
+                return jnp.concatenate(
+                    [sel.astype(jnp.float32)[..., None],
+                     good.astype(jnp.float32)[..., None],
+                     idx2.astype(jnp.float32)[..., None], pts], axis=-1)
 
             self._jit_triangulate = jax.jit(tri_all)
 
@@ -270,7 +277,11 @@ class LocalMapper:
 
     def _tri_writeback(self, kf_id: int, pending) -> None:
         m = self.map
-        idx1_all, good_all, idx2_all, pts_all = jax.device_get(pending["res"])
+        packed = np.asarray(jax.device_get(pending["res"]))
+        idx1_all = packed[..., 0].astype(np.int64)
+        good_all = packed[..., 1] > 0.5
+        idx2_all = packed[..., 2].astype(np.int64)
+        pts_all = packed[..., 3:6]
         nbrs, n_keep = pending["nbrs"], pending["n_keep"]
 
         # Sequential-semantics dedup: the reference marks a keypoint
@@ -548,7 +559,12 @@ class LocalMapper:
                     pt_pos=pts_dev[0][pt_ids], pt_valid=pt_valid,
                     obs_kf=widx, obs_uvr=obs_uvr, obs_w=obs_w,
                     obs_valid=ok & (widx >= 0))
-                return local_ba.optimize_local_ba(prob, cam, optcfg)
+                res = local_ba.optimize_local_ba(prob, cam, optcfg)
+                # ONE output leaf (see _tri_dispatch's pack rationale).
+                return jnp.concatenate(
+                    [res.kf_R.reshape(-1), res.kf_t.reshape(-1),
+                     res.pt_pos.reshape(-1),
+                     res.obs_valid.astype(jnp.float32).reshape(-1)])
 
             self._jit_ba_assemble = jax.jit(assemble_solve)
 
@@ -568,11 +584,15 @@ class LocalMapper:
 
     def _ba_writeback(self, kf_id: int, pending) -> None:
         m = self.map
-        result = pending["result"]
         window, fixed = pending["window"], pending["fixed"]
         pts, n_pts = pending["pts"], pending["n_pts"]
-        new_R, new_t, new_pos, ov = jax.device_get(
-            (result.kf_R, result.kf_t, result.pt_pos, result.obs_valid))
+        flat = np.asarray(jax.device_get(pending["result"]))
+        K, P, M = WINDOW_KF, WINDOW_PT, WINDOW_OBS
+        o = 0
+        new_R = flat[o:o + K * 9].reshape(K, 3, 3); o += K * 9
+        new_t = flat[o:o + K * 3].reshape(K, 3); o += K * 3
+        new_pos = flat[o:o + P * 3].reshape(P, 3); o += P * 3
+        ov = flat[o:o + P * M].reshape(P, M) > 0.5
 
         newest_delta = None
         for i, k in enumerate(window):

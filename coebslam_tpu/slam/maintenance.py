@@ -381,6 +381,13 @@ def _close_loop(st: rt.RTState, ms: MaintState, lid, cand_row, score,
     return jax.lax.cond(accepted, apply, lambda c: c, (st, ms))
 
 
+#: Process-wide caches keyed by (cfg, lim, vocab identity): a second
+#: session with the same setup reuses the compiled program AND the
+#: device-resident vocabulary arrays (see realtime._cached_step).
+_JIT_CACHE: dict = {}
+_VOC_DEV_CACHE: dict = {}
+
+
 class Maintainer:
     """Host-side wrapper: owns the device vocabulary arrays and the
     jitted maintenance program."""
@@ -393,14 +400,28 @@ class Maintainer:
         # Device-resident vocabulary (ARGUMENTS of the jitted program, not
         # closed-over constants — constants would be baked into the
         # executable and re-shipped on every compile).
-        self._dev = (
-            jax.device_put(jnp.asarray(voc_mod._unpack(voc.node_desc))),
-            jax.device_put(jnp.asarray(voc.children)),
-            jax.device_put(jnp.asarray(voc.word_id)),
-            jax.device_put(jnp.asarray(voc.word_weight)))
-        self._step = jax.jit(
-            lambda st, ms, seed, nb, ch, wi, ww: maintenance_step(
-                st, ms, seed, nb, ch, wi, ww, cfg, lim, self._depth))
+        if id(voc) in _VOC_DEV_CACHE:
+            self._dev = _VOC_DEV_CACHE[id(voc)]
+        else:
+            self._dev = (
+                jax.device_put(jnp.asarray(voc_mod._unpack(voc.node_desc))),
+                jax.device_put(jnp.asarray(voc.children)),
+                jax.device_put(jnp.asarray(voc.word_id)),
+                jax.device_put(jnp.asarray(voc.word_weight)))
+            _VOC_DEV_CACHE[id(voc)] = self._dev
+        try:
+            key = (cfg, lim, id(voc))
+            hash(key)
+        except TypeError:
+            key = None
+        if key is not None and key in _JIT_CACHE:
+            self._step = _JIT_CACHE[key]
+        else:
+            self._step = jax.jit(
+                lambda st, ms, seed, nb, ch, wi, ww: maintenance_step(
+                    st, ms, seed, nb, ch, wi, ww, cfg, lim, self._depth))
+            if key is not None:
+                _JIT_CACHE[key] = self._step
 
     def init_state(self) -> MaintState:
         K = self.lim.max_kf

@@ -564,6 +564,29 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
 # --------------------------------------------------------------------- #
 
 
+#: Process-wide jitted-step cache: two RealtimeSlam sessions with the
+#: same (cfg, lim) share ONE compiled executable.  Without this each
+#: instance's `jax.jit(lambda ...)` is a distinct function identity, so
+#: a second session recompiles ~35 MB of TPU code and can push the
+#: client past its executable-retention budget (docs/TPU_BACKEND_NOTES
+#: §2) — after which EVERY dispatch re-ships the program (~200 ms).
+_STEP_CACHE: dict = {}
+
+
+def _cached_step(cfg: SystemConfig, lim: RTLimits):
+    try:
+        key = (cfg, lim)
+        hash(key)
+    except TypeError:                        # unhashable config field
+        key = None
+    if key is not None and key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+    step = jax.jit(lambda g, d, b, s, st: rt_step(g, d, b, s, st, cfg, lim))
+    if key is not None:
+        _STEP_CACHE[key] = step
+    return step
+
+
 class RealtimeSlam:
     """Dispatch-only host loop around `rt_step` (+ the optional
     `slam.maintenance` loop-closing/relocalization program).
@@ -613,8 +636,7 @@ class RealtimeSlam:
         # donate_argnums=(4,) vs 0.4 ms without — the donated-input
         # bookkeeping round-trips the relay).  The un-donated peak holds
         # two states (~tens of MB), well within HBM.
-        self._step = jax.jit(
-            lambda g, d, b, s, st: rt_step(g, d, b, s, st, cfg, self.lim))
+        self._step = _cached_step(cfg, self.lim)
         nb = cfg.dynamic.max_boxes
         self._no_boxes = jnp.full((nb, 4), -1.0, jnp.float32)
 

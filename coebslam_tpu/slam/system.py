@@ -324,13 +324,17 @@ class System:
             # keep the trajectory log across the reset
             del self.tracker.trajectory[n_traj:]
 
-    def enable_realtime(self) -> None:
+    def enable_realtime(self, finalize_batch: int = 8) -> None:
         """Production mode: pipeline the tracker (frame i-1's host decisions
-        overlap frame i's device execution) and run the mapper's stage
-        machine asynchronously, polled once per frame — the TPU-native
-        equivalent of the reference's tracking/mapping thread split
-        (System.cc:100)."""
+        overlap frame i's device execution), batch the decision-scalar
+        readbacks (``finalize_batch`` frames per bundled transfer — the
+        per-transfer LATENCY of the degraded client is what caps host
+        throughput, tracking.Tracker.finalize_batch), and run the mapper's
+        stage machine asynchronously, polled once per frame — the
+        TPU-native equivalent of the reference's tracking/mapping thread
+        split (System.cc:100)."""
         self.tracker.pipelined = True
+        self.tracker.finalize_batch = max(1, int(finalize_batch))
         self.mapper.async_mode = True
         self.tracker.on_frame = self.mapper.poll
         self.tracker.mapper_idle_fn = self.mapper.idle

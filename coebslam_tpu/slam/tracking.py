@@ -457,6 +457,15 @@ class Tracker:
         self.mapper_idle_fn = None  # callback() -> bool — mapper idleness
         self.reloc_fn = None        # callback(fd) -> RelocResult (BoW rel.)
         self.pipelined = False
+        #: Pipelined mode: frames whose decision scalars are fetched in ONE
+        #: bundled transfer.  The degraded-transfer mode of this backend
+        #: costs ~70 ms LATENCY per device_get regardless of size
+        #: (docs/TPU_BACKEND_NOTES.md §1), so per-frame scalar fetches cap
+        #: the host pipeline at ~7 fps; batching B frames amortizes the
+        #: latency to ~70/B ms/frame.  Decisions (keyframe policy, LOST)
+        #: lag up to B frames — the same order of staleness the reference's
+        #: mapper thread imposes on its map updates.
+        self.finalize_batch = 1
         # Monocular initialization state (Tracking::MonocularInitialization).
         self._mono_ref: Optional[FrameData] = None
         self._mono_ref_stamp: float = 0.0
@@ -593,7 +602,7 @@ class Tracker:
     @property
     def last_frame(self) -> Optional[FrameRecord]:
         if self._last_frame is None and self._last_ctx is not None:
-            rec = self._fetched_record(jax.device_get(self._last_ctx.out.fd))
+            rec = self._fetch_record(self._last_ctx.out.fd)
             pids = self._last_pids if self._last_pids is not None \
                 else rec.point_ids
             self._last_frame = rec._replace(point_ids=pids)
@@ -724,7 +733,9 @@ class Tracker:
                          spawn_mask=spawn_mask, spawn_ok=spawn_ok)
 
     def _advance(self, ctx: _FrameCtx):
-        """Finalize either this frame (sync) or the previous one (pipelined)."""
+        """Finalize either this frame (sync) or the previous one(s)
+        (pipelined; with ``finalize_batch`` > 1 the oldest B frames are
+        finalized together from one bundled scalar transfer)."""
         if not self.pipelined:
             res = self._finalize(ctx)
             if self.on_frame:
@@ -732,11 +743,24 @@ class Tracker:
             return res
         self._pending.append(ctx)
         res = (self.state.mode, -1)
-        if len(self._pending) > 1:
-            res = self._finalize(self._pending.pop(0))
+        B = max(1, self.finalize_batch)
+        if len(self._pending) > B:
+            raws = self._prefetch(self._pending[:B]) if B > 1 else [None]
+            for raw in raws:
+                if not self._pending:
+                    break          # recovery drained the in-flight frames
+                res = self._finalize(self._pending.pop(0), raw=raw)
         if self.on_frame:
             self.on_frame()
         return res
+
+    def _prefetch(self, batch):
+        """ONE bundled device->host transfer for a batch of frames'
+        decision scalars (2 leaves total instead of 2 per frame)."""
+        vec = jnp.stack([c.out.scalars.vec for c in batch])
+        pid = jnp.stack([c.out.scalars.pids for c in batch])
+        v, p = jax.device_get((vec, pid))
+        return [StepScalars(vec=v[i], pids=p[i]) for i in range(len(batch))]
 
     def flush(self):
         """Finalize all in-flight frames (pipelined mode)."""
@@ -806,13 +830,15 @@ class Tracker:
 
     # ------------------------------------------------------------------ #
 
-    def _finalize(self, ctx: _FrameCtx) -> tuple:
+    def _finalize(self, ctx: _FrameCtx, raw=None) -> tuple:
         """Host decision tail for one frame: LOST handling, bookkeeping,
-        keyframe policy.  Reads only the small scalar bundle unless the
-        frame becomes a keyframe or needs recovery."""
+        keyframe policy.  Reads only the small scalar bundle (prefetched
+        in batched-pipelined mode) unless the frame becomes a keyframe or
+        needs recovery."""
         st = self.state
         cfg = self.cfg
-        raw = jax.device_get(ctx.out.scalars)
+        if raw is None:
+            raw = jax.device_get(ctx.out.scalars)
         sc = HostScalars.unpack(raw.vec, raw.pids)
         if ctx.corr_R is not None:
             # Re-base onto corrections applied while this frame was in
@@ -863,7 +889,7 @@ class Tracker:
         st.peak_inliers_since_kf = max(st.peak_inliers_since_kf, n_inliers)
         if not self.localization_only and self._need_keyframe(
                 sc.tracked_close, sc.untracked_close, n_inliers):
-            rec = self._fetched_record(jax.device_get(ctx.out.fd))
+            rec = self._fetch_record(ctx.out.fd)
             rec = rec._replace(point_ids=pids)
             self._spawn_mask = ctx.spawn_mask
             self._spawn_vec = None if ctx.spawn_ok is None \
@@ -945,6 +971,30 @@ class Tracker:
             desc=np.asarray(fd_np.feats.desc), depth=np.asarray(fd_np.depth),
             ur=np.asarray(fd_np.ur), valid=np.asarray(fd_np.feats.valid),
             point_ids=np.full(fd_np.depth.shape[0], -1, np.int32))
+
+    def _fetch_record(self, fd_dev: FrameData) -> FrameRecord:
+        """Fetch a device FrameData as TWO transfers, not ten.
+
+        Device->host transfers on the degraded client cost ~70-140 ms of
+        LATENCY each regardless of size (docs/TPU_BACKEND_NOTES.md §1);
+        a FrameData pytree has ~10 leaves, so a naive device_get per
+        keyframe cost ~1 s.  Pack the float fields into one [N, 7] array
+        in-graph and ship (floats, packed descriptors) together."""
+        if not hasattr(self, "_jit_pack_fd"):
+            def pack(fd):
+                f = fd.feats
+                cols = jnp.stack([f.level.astype(jnp.float32),
+                                  f.angle, fd.depth, fd.ur,
+                                  f.valid.astype(jnp.float32)], axis=-1)
+                return jnp.concatenate([f.uv, cols], axis=-1), f.desc
+            self._jit_pack_fd = jax.jit(pack)
+        flo, desc = jax.device_get(self._jit_pack_fd(fd_dev))
+        n = flo.shape[0]
+        return FrameRecord(
+            uv=flo[:, 0:2], level=flo[:, 2].astype(np.int32),
+            angle=flo[:, 3], desc=np.asarray(desc), depth=flo[:, 4],
+            ur=flo[:, 5], valid=flo[:, 6] > 0.5,
+            point_ids=np.full(n, -1, np.int32))
 
     # ------------------------------------------------------------------ #
 

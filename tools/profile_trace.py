@@ -126,7 +126,10 @@ def main():
     ba = jax.jit(lambda s: _windowed_ba(s, cfg, lim))
     rows["windowed BA"] = timed(ba, st, n=10)
 
-    # ---- full step
+    # ---- full step.  NOTE: a block-per-dispatch loop measures relay
+    # round-trip + (in a many-program client like this one) executable
+    # re-shipping, NOT device time — measured 109 ms/step serialized vs
+    # 1.3 ms/frame pipelined in a clean client.  Report both.
     full = jax.jit(lambda g, d, b, s, stt: rt_step(g, d, b, s, stt, cfg,
                                                    lim))
     ts = []
@@ -137,17 +140,27 @@ def main():
         jax.block_until_ready(cur.frame_idx)
         ts.append((time.perf_counter() - t0) * 1e3)
     ts = np.asarray(ts[3:])
-    rows["rt_step median"] = float(np.median(ts))
-    rows["rt_step p95"] = float(np.percentile(ts, 95))
-    rows["rt_step max"] = float(ts.max())
+    rows["rt_step serialized (dispatch+relay)"] = float(np.median(ts))
+    cur = st
+    for k in range(8):                       # fill the pipe
+        cur = full(g, d, boxes, jnp.uint32(3000 + k), cur)
+    jax.block_until_ready(cur.frame_idx)
+    t0 = time.perf_counter()
+    for k in range(64):
+        cur = full(g, d, boxes, jnp.uint32(3100 + k), cur)
+        if k % 8 == 7:
+            jax.block_until_ready(cur.frame_idx)
+    jax.block_until_ready(cur.frame_idx)
+    rows["rt_step pipelined"] = (time.perf_counter() - t0) / 64 * 1e3
 
     print("\ndevice-time breakdown (ms):", file=sys.stderr)
     for k, v in rows.items():
         print(f"  {k:20s} {v:8.3f}", file=sys.stderr)
 
     if not args.no_trace:
-        out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "artifacts", "trace_rt")
+        # Full traces are ~100 MB — written to /tmp; the committed
+        # artifact is the op-level digest (artifacts/trace_rt_summary.md).
+        out = "/tmp/coebslam_trace_rt"
         os.makedirs(out, exist_ok=True)
         with jax.profiler.trace(out):
             cur2 = st
