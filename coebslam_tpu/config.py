@@ -162,8 +162,10 @@ class DynamicConfig:
     match_radius: float = 80.0
     # Run the detector every k-th frame (boxes propagate in between; the
     # reference tolerates stale boxes via ApproximateTime sync,
-    # ros_rgbd.cc:73-78).  1 = every frame.
-    detector_cadence: int = 1
+    # ros_rgbd.cc:73-78 — its CPU YOLOv5 runs at a few Hz against 30 Hz
+    # frames, i.e. an effective cadence of ~5-10).  The sticky dynamic
+    # mask bridges between detections.  1 = every frame.
+    detector_cadence: int = 5
 
 
 @dataclass(frozen=True)

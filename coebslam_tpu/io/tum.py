@@ -46,6 +46,27 @@ class TumSequence:
         depth = depth_raw.astype(np.float32) / depth_factor
         return float(self.rgb_stamps[i]), gray, depth
 
+    def load_frame_raw(self, i: int
+                       ) -> Tuple[float, np.ndarray, np.ndarray]:
+        """Returns (timestamp, gray uint8, depth uint16) — the sensor
+        WIRE dtypes.  The realtime pipeline casts/scales in-graph
+        (rt_step), so feeding raw frames (a) ships 3 bytes/px to the
+        device instead of 8 and (b) keeps the executable IDENTICAL to
+        other uint8/uint16 feeds — a float32 feed would compile a second
+        ~35 MB program and can push the client past its retention budget
+        (docs/TPU_BACKEND_NOTES.md §2)."""
+        from PIL import Image
+        rgb = np.asarray(Image.open(os.path.join(self.root,
+                                                 self.rgb_files[i])))
+        if rgb.ndim == 3:
+            gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                    + 0.114 * rgb[..., 2]).astype(np.uint8)
+        else:
+            gray = rgb.astype(np.uint8)
+        depth = np.asarray(Image.open(
+            os.path.join(self.root, self.depth_files[i])))
+        return float(self.rgb_stamps[i]), gray, depth.astype(np.uint16)
+
 
 def _read_file_list(path: str) -> Tuple[np.ndarray, List[str]]:
     stamps, files = [], []

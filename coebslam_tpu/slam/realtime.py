@@ -77,7 +77,11 @@ class RTLimits(NamedTuple):
     """Static capacities of one realtime session (compile-time shapes)."""
     max_kf: int = 64          # keyframe RING rows (window, not a wall)
     spawn_per_kf: int = 256   # point-chunk size S; logical pid = lid*S + slot
-    ba_window: int = 8        # keyframes jointly adjusted per insertion
+    # Keyframes jointly adjusted per insertion.  Measured on the 240-frame
+    # replica prefix (walker + blur + shake): W=8 -> 4.26 cm ATE,
+    # W=12 -> 1.75 cm (the shake segment needs the longer smoothing
+    # window); the wider window only costs the occasional KF branch.
+    ba_window: int = 12
     local_window: int = 12    # keyframe chunks visible to tracking
     max_frames: int = 4096    # trajectory ring capacity
     reuse_chunks: int = 2     # extra chunks re-exposed after a loop closure

@@ -177,3 +177,56 @@ def _draw_line(img: np.ndarray, p0, p1, color) -> None:
 def save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
     Image.fromarray(np.asarray(img, np.uint8)).save(path)
+
+
+class LiveViewer:
+    """Continuously-updated map/trajectory view during a run — the
+    reference's Pangolin Viewer thread (Viewer.cc:54-60, SURVEY §2.1 row
+    19) re-imagined for a headless accelerator host: every ``every``-th
+    frame the current top-down map render (+ optional keypoint overlay of
+    the newest frame) is written to fixed paths an image watcher / web
+    page can poll.  Rendering is pure numpy on the host and never touches
+    the device — attach it to the host-orchestrated System whose state is
+    host-visible anyway; for the zero-sync realtime mode use it after
+    finish() (a mid-run readback would degrade the client,
+    docs/TPU_BACKEND_NOTES.md §1).
+
+    Usage:
+        viewer = LiveViewer("/tmp/slamviz", every=15)
+        sysm.tracker.on_frame = viewer.hook(sysm)   # or call tick() manually
+    """
+
+    def __init__(self, out_dir: str, every: int = 15):
+        import os
+        self.out_dir = out_dir
+        self.every = max(1, int(every))
+        self.n = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def tick(self, sysm) -> None:
+        import os
+        self.n += 1
+        if self.n % self.every:
+            return
+        m = sysm.map
+        kfs = m.valid_keyframes()
+        traj = np.asarray([-R.T @ t for _, R, t in
+                           sysm.tracker.trajectory]) \
+            if sysm.tracker.trajectory else None
+        img = render_map_topdown(
+            m.pt_pos, m.pt_valid,
+            kf_t=m.kf_t[kfs] if len(kfs) else None,
+            kf_R=m.kf_R[kfs] if len(kfs) else None,
+            trajectory=traj)
+        tmp = os.path.join(self.out_dir, ".map_topdown.tmp.png")
+        save_png(tmp, img)
+        os.replace(tmp, os.path.join(self.out_dir, "map_topdown.png"))
+
+    def hook(self, sysm, chain=None):
+        """Returns an ``on_frame`` callback (optionally chaining the
+        existing one, e.g. the mapper poll)."""
+        def cb():
+            if chain is not None:
+                chain()
+            self.tick(sysm)
+        return cb

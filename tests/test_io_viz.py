@@ -165,3 +165,32 @@ class TestBlurGate:
                 emitted.append(out)
         assert len(emitted) == 1
         assert emitted[0][0] == 2.0     # the sharp middle frame's stamp
+
+
+class TestLiveViewer:
+    def test_writes_and_replaces_atomically(self, tmp_path):
+        """LiveViewer must produce a readable PNG at a stable path and
+        update it in place (Viewer thread equivalent, SURVEY §2.1 #19)."""
+        import jax
+        import numpy as np
+        from coebslam_tpu.config import SystemConfig
+        from coebslam_tpu.slam.system import System
+        from coebslam_tpu.utils import synthetic
+        from coebslam_tpu.utils.viz import LiveViewer
+
+        cfg = SystemConfig()
+        planes = synthetic.make_room(seed=0)
+        poses = synthetic.camera_trajectory(6, radius=0.3)
+        sysm = System(cfg)
+        viewer = LiveViewer(str(tmp_path), every=2)
+        sysm.tracker.on_frame = viewer.hook(sysm)
+        for i, p in enumerate(poses):
+            out = synthetic.render(cfg.camera, p, planes, None, i)
+            sysm.track_rgbd(np.asarray(out[0]), np.asarray(out[1]),
+                            stamp=i / 30.0)
+        png = tmp_path / "map_topdown.png"
+        assert png.exists()
+        from PIL import Image
+        img = np.asarray(Image.open(png))
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert (img != img[0, 0]).any()       # not a constant canvas

@@ -65,8 +65,10 @@ class TestReplicaRealtime:
         cfg = SystemConfig()
         rt = RealtimeSlam(cfg)
         for i in range(RT_PREFIX):
-            stamp, gray, depth = seq.load_frame(
-                i, depth_factor=cfg.camera.depth_map_factor)
+            # RAW wire dtypes — the production feed (uint8/uint16 cast
+            # in-graph); the host-path test below keeps the float-metres
+            # contract covered.
+            stamp, gray, depth = seq.load_frame_raw(i)
             rt.track(gray, depth, stamp=stamp, boxes=boxes_of(stamp))
         rt.block()
         return rt.finish(), seq
