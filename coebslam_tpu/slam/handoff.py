@@ -1,0 +1,122 @@
+"""Realtime-session -> host-arena handoff: offline refinement bridge.
+
+`RealtimeSlam.finish()` returns the session's device arenas as numpy;
+this module rebuilds a host `MapArena` from them so the WHOLE host
+toolchain applies to a finished realtime session: global bundle
+adjustment (`slam.global_ba`), checkpoint/resume (`io.checkpoint`),
+keyframe-trajectory export, visualization, and — with a vocabulary —
+re-processing by the host loop closer.  This is the "hand the arenas
+over for offline refinement" half of the zero-sync design
+(slam/realtime.py module docstring): the realtime front-end never reads
+back mid-run; everything long-horizon happens here, after the fact —
+the reference's detached-GBA role (LoopClosing::RunGlobalBundleAdjustment,
+LoopClosing.cc:646-750) without racing a live map.
+
+Reconstruction notes:
+  * Per-keypoint pyramid levels are recovered from the stored
+    information weights (w = 1/sf^(2L)  =>  L = -ln w / (2 ln sf)) —
+    exact, because the realtime state keeps inv_sigma2 per observation.
+  * Depth is recovered from the virtual-right coordinate
+    (z = bf / (u - ur), Frame.cc:820-842 inverted); ur == -1 marks "no
+    depth" (frame.py contract).
+  * Keypoint descriptors/angles come from the observed landmark (the
+    realtime arenas store them per POINT; the landmark descriptor is the
+    spawning keypoint's, so this is lossless for observed keypoints).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SystemConfig
+from .map import MapArena
+
+
+def to_arena(res: dict, cfg: SystemConfig, stamps=None):
+    """Build a MapArena from a `RealtimeSlam.finish()` result.
+
+    Returns (arena, kf_ids) with ``kf_ids[i]`` the arena id of the i-th
+    (lid-ordered) realtime keyframe.
+    """
+    lim = res["limits"]
+    K, S = lim.max_kf, lim.spawn_per_kf
+    P = K * S
+    cam, orb = cfg.camera, cfg.orb
+    m = MapArena(cfg)
+
+    lids = np.asarray(res["kf_lid"])
+    live_lids = set(int(x) for x in lids)
+    pt_valid = np.asarray(res["pt_valid"])
+    pt_pos = np.asarray(res["pt_pos"])
+    pt_desc = np.asarray(res["pt_desc"])
+    pt_angle = np.asarray(res["pt_angle"])
+
+    # ---- live landmarks: logical pid -> arena id
+    phys_of = lambda pid: pid % P
+    live_pids = []
+    for lid in lids:
+        base = int(lid) * S
+        ph = (base + np.arange(S)) % P
+        ok = pt_valid[ph]
+        live_pids.extend((base + np.nonzero(ok)[0]).tolist())
+    live_pids = np.asarray(live_pids, np.int64)
+    arena_of = {}
+    if len(live_pids):
+        ph = phys_of(live_pids)
+        ids = m.add_points(pt_pos[ph], pt_desc[ph], first_kf=-1,
+                           angles=pt_angle[ph])
+        for lp, aid in zip(live_pids, ids):
+            if aid >= 0:
+                arena_of[int(lp)] = int(aid)
+
+    # ---- keyframes (lid order == temporal order)
+    if stamps is None:
+        stamps = np.asarray(res["stamps"])
+    dropped = res.get("frames_dropped", 0)
+    frames = np.asarray(res["kf_frame"])
+    obs = np.asarray(res["kf_obs"])          # [n, N, 3]
+    w = np.asarray(res["kf_w"])
+    kpv = np.asarray(res["kf_kp_valid"])
+    pids = np.asarray(res["kf_pid"])
+    ln_sf2 = 2.0 * np.log(orb.scale_factor)
+    kf_ids = []
+    for i, lid in enumerate(lids):
+        u, v, ur = obs[i, :, 0], obs[i, :, 1], obs[i, :, 2]
+        disp = u - ur
+        has_d = (np.abs(ur + 1.0) > 1e-4) & (disp > 0.1)
+        depth = np.where(has_d, cam.bf / np.maximum(disp, 0.1), 0.0)
+        level = np.clip(np.round(-np.log(np.maximum(w[i], 1e-9)) / ln_sf2),
+                        0, orb.n_levels - 1).astype(np.int32)
+        row = pids[i]
+        alive = (row >= 0) & np.isin(row // S, lids) \
+            & pt_valid[phys_of(np.clip(row, 0, None))]
+        point_ids = np.asarray(
+            [arena_of.get(int(p), -1) if a else -1
+             for p, a in zip(row, alive)], np.int32)
+        desc = np.zeros((len(row), 32), np.uint8)
+        angle = np.zeros(len(row), np.float32)
+        sel = point_ids >= 0
+        if sel.any():
+            ph = phys_of(row[sel])
+            desc[sel] = pt_desc[ph]
+            angle[sel] = pt_angle[ph]
+        fi = int(frames[i]) - dropped
+        stamp = float(stamps[fi]) if 0 <= fi < len(stamps) \
+            else int(frames[i]) / cam.fps
+        k = m.add_keyframe(
+            np.asarray(res["kf_R"][i]), np.asarray(res["kf_t"][i]), stamp,
+            obs[i, :, :2], level, angle, desc, depth,
+            np.where(has_d, ur, -1.0), kpv[i], point_ids)
+        kf_ids.append(k)
+    for pid, aid in arena_of.items():
+        m.update_point_stats(aid)
+    return m, kf_ids
+
+
+def refine(res: dict, cfg: SystemConfig, stamps=None):
+    """Handoff + global bundle adjustment: the offline polish a realtime
+    session gets after the fact (GlobalBundleAdjustemnt [sic],
+    Optimizer.cc:41-237).  Returns (arena, kf_ids, n_optimized)."""
+    from .global_ba import GlobalBA
+    m, kf_ids = to_arena(res, cfg, stamps=stamps)
+    n = GlobalBA(cfg).run(m)
+    return m, kf_ids, n

@@ -712,11 +712,21 @@ class RealtimeSlam:
             "kf_t": np.asarray(st.kf_t)[rows],
             "kf_frame": np.asarray(st.kf_frame)[rows],
             "kf_lid": kf_lid[rows],
+            # Full observation structure (lid-ordered rows) so
+            # slam.handoff can rebuild a host MapArena for offline
+            # refinement / checkpointing / loop-capable re-processing.
+            "kf_obs": np.asarray(st.kf_obs)[rows],
+            "kf_w": np.asarray(st.kf_w)[rows],
+            "kf_kp_valid": np.asarray(st.kf_kp_valid)[rows],
+            "kf_pid": np.asarray(st.kf_pid)[rows],
             "pt_pos": np.asarray(st.pt_pos),
             "pt_valid": np.asarray(st.pt_valid),
+            "pt_desc": np.asarray(st.pt_desc),
+            "pt_angle": np.asarray(st.pt_angle),
             "budget": int(st.budget),
             "n_ba_culled": int(st.n_ba_culled),
             "n_assoc": int(st.n_assoc),
+            "limits": self.lim,
         }
         if self.maint is not None:
             out.update(self.maint.report(self.mstate))

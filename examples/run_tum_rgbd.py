@@ -43,6 +43,16 @@ def main():
     ap.add_argument("--out")
     ap.add_argument("--viz", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--realtime", action="store_true",
+                    help="zero-sync realtime mode (slam/realtime.py): the "
+                    "whole pipeline as device programs, no per-frame host "
+                    "round trips; with --vocab the in-graph loop closer / "
+                    "relocalizer runs too")
+    ap.add_argument("--refine", action="store_true",
+                    help="with --realtime: hand the finished session's "
+                    "arenas to the host toolchain and run global BA "
+                    "(slam/handoff.py), then export the refined keyframe "
+                    "trajectory")
     args = ap.parse_args()
 
     if args.cpu:
@@ -92,7 +102,11 @@ def main():
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
     print(f"sequence: {args.sequence}  frames: {n}  "
           f"detector: {'yolo' if detector else 'none'}  "
-          f"vocab: {'yes' if vocab else 'no'}")
+          f"vocab: {'yes' if vocab else 'no'}  "
+          f"mode: {'realtime' if args.realtime else 'host'}")
+
+    if args.realtime:
+        return _run_realtime(args, cfg, seq, n, box_lookup, detector, vocab)
 
     system = System(cfg, detector=detector, vocabulary=vocab)
     times = []
@@ -144,6 +158,57 @@ def main():
                                      trajectory=traj)
         viz.save_png(os.path.join(out_dir, "map_topdown.png"), img)
         print(f"viz artifacts in {out_dir}")
+
+
+def _run_realtime(args, cfg, seq, n, box_lookup, detector, vocab):
+    """Zero-sync realtime replay: upload + dispatch only; ONE readback at
+    the end (finish()), then standard scoring/export."""
+    import numpy as np
+    import time
+    from coebslam_tpu.eval import ate
+    from coebslam_tpu.io import trajectory
+    from coebslam_tpu.slam.realtime import RealtimeSlam
+
+    rt = RealtimeSlam(cfg, detector=detector, vocabulary=vocab)
+    t0 = time.perf_counter()
+    for i in range(n):
+        stamp, gray, depth = seq.load_frame_raw(i)
+        boxes = box_lookup(stamp) if box_lookup else None
+        rt.track(gray, depth, stamp=stamp, boxes=boxes)
+        if i == 0:
+            rt.block()
+            print(f"compiled in {time.perf_counter() - t0:.1f}s", flush=True)
+            t0 = time.perf_counter()
+    rt.block()
+    fps = (n - 1) / (time.perf_counter() - t0)
+    res = rt.finish()
+
+    out_dir = args.out or args.sequence
+    os.makedirs(out_dir, exist_ok=True)
+    traj_path = os.path.join(out_dir, "CameraTrajectory.txt")
+    trajectory.save_tum(traj_path, res["stamps"],
+                        list(zip(res["R"], res["t"])))
+    print(f"\n{fps:.1f} fps steady-state; ok {int(res['ok'].sum())}/{n}; "
+          f"keyframes {res['n_kf']} (evicted {res['kf_evicted']}); "
+          f"loops {res.get('n_loops_closed', 'n/a')}; "
+          f"reloc {res.get('n_relocalizations', 'n/a')}")
+    print(f"trajectory saved to {traj_path}")
+    if seq.gt_stamps is not None:
+        est = np.asarray([-R.T @ t for R, t in zip(res["R"], res["t"])])
+        r = ate.ate_rmse(res["stamps"], est, seq.gt_stamps,
+                         seq.gt_poses[:, :3])
+        print(f"ATE RMSE: {r['rmse']*100:.2f} cm  "
+              f"(median {r['median']*100:.2f} cm, {r['pairs']} pairs)")
+
+    if args.refine:
+        from coebslam_tpu.slam import handoff
+        m, kf_ids, n_opt = handoff.refine(res, cfg)
+        trajectory.save_tum(
+            os.path.join(out_dir, "KeyFrameTrajectory.txt"),
+            m.kf_stamp[kf_ids],
+            [(m.kf_R[k], m.kf_t[k]) for k in kf_ids])
+        print(f"offline refinement: global BA over {n_opt} keyframes; "
+              f"KeyFrameTrajectory.txt written")
 
 
 def _kf_centers(m):
