@@ -43,6 +43,10 @@ program):
     readback) that detects loops over device-resident BoW rows, solves
     the closure, runs the Sim3 pose graph and remaps the point arenas.
 
+After the run, `slam.handoff.to_arena` rebuilds a host MapArena from
+`finish()`'s export, so global BA, checkpointing and the rest of the
+host toolchain apply offline (the reference's detached-GBA role).
+
 Capacity model: keyframes and points live in RING arenas — logical
 keyframe id `lid` is monotonic, physical row is ``lid % max_kf``, and a
 new keyframe evicts the tenant ``max_kf`` keyframes behind it (its point
