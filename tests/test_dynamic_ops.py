@@ -126,6 +126,7 @@ class TestBlur:
             assert np.isfinite(s).all() and (s > 0).all()
 
 
+@pytest.mark.slow
 class TestDynamicFrontend:
     def test_walker_box_flagged_dynamic(self):
         """Moving quad in a static room: its box must be classified dynamic,

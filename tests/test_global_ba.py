@@ -53,6 +53,7 @@ def mean_chi2(prob):
                  / prob.obs_valid.sum())
 
 
+@pytest.mark.slow
 class TestChunkedSchur:
     def test_chunked_matches_unchunked(self):
         """Point-block streaming is algebraically exact: one chunked GN

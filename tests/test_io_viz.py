@@ -167,6 +167,7 @@ class TestBlurGate:
         assert emitted[0][0] == 2.0     # the sharp middle frame's stamp
 
 
+@pytest.mark.slow
 class TestLiveViewer:
     def test_writes_and_replaces_atomically(self, tmp_path):
         """LiveViewer must produce a readable PNG at a stable path and

@@ -1,5 +1,6 @@
 """Schur-complement local BA: convergence and gauge handling."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +51,7 @@ def build_problem(key, K=4, P=128, M=4, pose_noise=0.02, pt_noise=0.02,
 
 
 class TestLocalBA:
+    @pytest.mark.slow
     def test_converges_to_ground_truth(self):
         prob, poses_gt, pts_gt = build_problem(jax.random.PRNGKey(0))
         res = local_ba.optimize_local_ba(prob, CAM, OPT)

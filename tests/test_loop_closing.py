@@ -55,6 +55,7 @@ def rot_err_deg(Ra, Rb):
     return np.degrees(np.arccos(np.clip((np.trace(Ra @ Rb.T) - 1) / 2, -1, 1)))
 
 
+@pytest.mark.slow
 class TestPoseGraph:
     def test_distributes_loop_drift(self):
         """Chain with 1.5 deg/edge yaw drift + ground-truth loop edge: the
@@ -115,6 +116,7 @@ class TestProcrustes:
         np.testing.assert_allclose(np.asarray(res.R), R, atol=5e-3)
 
 
+@pytest.mark.slow
 class TestSim3Opt:
     def test_recovers_relative_pose(self):
         rng = np.random.RandomState(2)

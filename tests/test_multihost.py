@@ -31,6 +31,7 @@ class TestHybridMesh:
         assert segs[0] == 0 and segs[-1] == 3
         assert all(b - a in (0, 1) for a, b in zip(segs, segs[1:]))
 
+    @pytest.mark.slow
     def test_sharded_ba_on_ici_axis(self):
         """The point-sharded BA must run over the hybrid mesh's ICI axis
         (the per-slice configuration of a pod deployment)."""

@@ -71,6 +71,7 @@ class TestEPnP:
         assert ang < 1e-3 and dt < 1e-2, (ang, dt)
 
 
+@pytest.mark.slow
 class TestRansacEPnP:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_outlier_rejection(self, seed):

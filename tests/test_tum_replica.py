@@ -10,8 +10,9 @@ framework achieves on it.  BENCH_r04+ carries the full-400-frame scores
 for both modes on the chip (bench.bench_replica); this gate replays
 prefixes on the CPU backend so regressions fail the suite.
 
-Measured at the time of pinning (CPU backend, full 400 frames, realtime
-mode): 4.26 cm ATE, 400/400 frames tracked.
+Measured at pinning (ba_window=12 default, full 400 frames, realtime
+mode): 4.00 cm ATE, 400/400 frames tracked (4.26 with the earlier
+8-keyframe BA window).
 """
 import os
 import tempfile
