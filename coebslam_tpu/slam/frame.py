@@ -73,11 +73,18 @@ def match_stereo(feats_l: Features, feats_r: Features, cam: CameraConfig,
 
 
 def process_stereo(gray_left, gray_right, cam: CameraConfig, orb: OrbConfig,
-                   *, n_features=None) -> FrameData:
+                   *, n_features=None, dynamic_mask=None,
+                   area_mode=None) -> FrameData:
     """Stereo frame constructor: extract on both images, match along rows,
     synthesize depth — restores the stereo path the fork disabled
-    (SURVEY §2.5: extraction threads commented out at Frame.cc:92-95)."""
-    feats_l = extractor.extract(gray_left, orb, n_features=n_features)
+    (SURVEY §2.5: extraction threads commented out at Frame.cc:92-95).
+
+    ``dynamic_mask``/``area_mode`` apply to the LEFT extraction (the COEB
+    gate operates on the reference camera; right keypoints only serve the
+    row-band disparity search)."""
+    feats_l = extractor.extract(gray_left, orb, n_features=n_features,
+                                dynamic_mask=dynamic_mask,
+                                area_mode=area_mode)
     feats_r = extractor.extract(gray_right, orb, n_features=n_features)
     depth, ur = match_stereo(feats_l, feats_r, cam, orb)
     inv_s2 = level_inv_sigma2(feats_l.level, orb.scale_factor)

@@ -441,21 +441,31 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
 
 def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
             lim: RTLimits) -> RTState:
-    """One sensor frame end-to-end.  Jittable; zero host transfers."""
+    """One sensor frame end-to-end.  Jittable; zero host transfers.
+
+    ``depth`` is the depth image for RGB-D, or the RIGHT camera image
+    when ``cfg.sensor == "stereo"`` (row-band disparity synthesizes the
+    depth in-graph, frame.process_stereo — the reference's stereo path,
+    Frame.cc:644-818, at zero-sync speed)."""
     cam = cfg.camera
     t_cfg = cfg.tracking
     K, S = lim.max_kf, lim.spawn_per_kf
     PT = K * S
 
     g = gray.astype(jnp.float32)
-    if jnp.issubdtype(depth.dtype, jnp.integer):
-        d = depth.astype(jnp.float32) / cam.depth_map_factor
+    if cfg.sensor == "stereo":
+        fd = frame_mod.process_stereo(
+            g, depth.astype(jnp.float32), cam, cfg.orb,
+            n_features=st.budget, dynamic_mask=st.dyn.sticky > 0,
+            area_mode=st.dyn.area_flag)
     else:
-        d = depth.astype(jnp.float32)
-
-    fd = frame_mod.process_rgbd(
-        g, d, cam, cfg.orb, n_features=st.budget,
-        dynamic_mask=st.dyn.sticky > 0, area_mode=st.dyn.area_flag)
+        if jnp.issubdtype(depth.dtype, jnp.integer):
+            d = depth.astype(jnp.float32) / cam.depth_map_factor
+        else:
+            d = depth.astype(jnp.float32)
+        fd = frame_mod.process_rgbd(
+            g, d, cam, cfg.orb, n_features=st.budget,
+            dynamic_mask=st.dyn.sticky > 0, area_mode=st.dyn.area_flag)
     key = jax.random.PRNGKey(seed)
     fd, spawn_ok, dyn2, _info = dynamic_mod.dynamic_step(
         fd, g, st.dyn, boxes, key, cfg)
@@ -679,6 +689,14 @@ class RealtimeSlam:
         if self._since_sync >= self.pipeline_depth:
             jax.block_until_ready(self.state.track.ok)
             self._since_sync = 0
+
+    def track_stereo(self, gray_left, gray_right, stamp: float,
+                     boxes=None) -> None:
+        """Stereo entry: identical zero-sync pipeline with in-graph
+        row-band disparity depth (requires cfg.sensor == 'stereo')."""
+        assert self.cfg.sensor == "stereo", \
+            "construct with cfg.sensor='stereo'"
+        self.track(gray_left, gray_right, stamp, boxes=boxes)
 
     def block(self) -> None:
         """Wait for all dispatched frames (still no readback)."""

@@ -69,3 +69,37 @@ def test_realtime_dynamic_boxes_gate_spawn(frames):
               & (v > box[0, 1] + 2) & (v < box[0, 3] - 2))
     frac = inside.mean() if len(pts) else 0.0
     assert frac < 0.02, f"{frac:.1%} of landmarks inside the box"
+
+
+@pytest.mark.slow
+def test_realtime_stereo_tracks():
+    """Zero-sync STEREO: the reference's (fork-disabled) stereo pipeline
+    at realtime speed — left/right pairs in, row-band disparity depth
+    in-graph, same ring arenas (Frame.cc:644-818 semantics)."""
+    import dataclasses
+    from coebslam_tpu.geometry.se3 import SE3
+
+    cfg = dataclasses.replace(SystemConfig(), sensor="stereo")
+    planes = synthetic.make_room(seed=0)
+    poses = synthetic.camera_trajectory(24, radius=0.3)
+    b = cfg.camera.baseline
+
+    rt = RealtimeSlam(cfg, RTLimits(max_kf=16, local_window=6, ba_window=6,
+                                    max_frames=64))
+    centers = []
+    for i, p in enumerate(poses):
+        gl = np.asarray(synthetic.render(cfg.camera, p, planes, None, i)[0])
+        t_r = np.asarray(p.t) - np.asarray([b, 0.0, 0.0], np.float32)
+        pose_r = SE3(p.R, jnp.asarray(t_r))
+        gr = np.asarray(synthetic.render(cfg.camera, pose_r, planes,
+                                         None, i)[0])
+        rt.track_stereo(gl, gr, stamp=i / 30.0)
+        centers.append(-np.asarray(p.R).T @ np.asarray(p.t))
+    rt.block()
+    res = rt.finish()
+    assert res["ok"].all(), f"{int(res['ok'].sum())}/24"
+    assert res["pt_valid"].sum() > 150
+    est = np.asarray([-R.T @ t for R, t in zip(res["R"], res["t"])])
+    stamps = np.arange(24) / 30.0
+    r = ate.ate_rmse(stamps, est, stamps, np.asarray(centers))
+    assert r["rmse"] < 0.03, f"stereo realtime ATE {r['rmse']*100:.1f} cm"
