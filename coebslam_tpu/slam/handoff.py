@@ -100,8 +100,14 @@ def to_arena(res: dict, cfg: SystemConfig, stamps=None):
             desc[sel] = pt_desc[ph]
             angle[sel] = pt_angle[ph]
         fi = int(frames[i]) - dropped
-        stamp = float(stamps[fi]) if 0 <= fi < len(stamps) \
-            else int(frames[i]) / cam.fps
+        if 0 <= fi < len(stamps):
+            stamp = float(stamps[fi])
+        else:
+            # Keyframe older than the surviving trajectory ring:
+            # extrapolate in the SAME timebase as the surviving stamps
+            # (TUM stamps are epoch seconds — a frame_index/fps fallback
+            # would interleave two timebases and break monotonicity).
+            stamp = float(stamps[0]) + fi / cam.fps
         k = m.add_keyframe(
             np.asarray(res["kf_R"][i]), np.asarray(res["kf_t"][i]), stamp,
             obs[i, :, :2], level, angle, desc, depth,

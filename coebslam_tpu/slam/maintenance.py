@@ -106,9 +106,14 @@ def _descend(desc_u8, valid, node_bits, children, word_id, depth: int):
 
 
 def _bow_vector(words, valid, weights, n_words: int):
+    """Returns (L1-normalized bow, has_words).  An EMPTY query must be
+    flagged: a zero vector scores a uniform 0.5 L1-similarity against
+    every L1-normalized database row, which would make the argmax
+    candidate arbitrary instead of absent."""
     w = jnp.where(valid & (words >= 0), weights[jnp.clip(words, 0)], 0.0)
     bow = jnp.zeros(n_words).at[jnp.clip(words, 0)].add(w)
-    return bow / jnp.maximum(jnp.sum(bow), 1e-9)
+    total = jnp.sum(bow)
+    return bow / jnp.maximum(total, 1e-9), total > 0.0
 
 
 def _l1_scores(bow, rows):
@@ -155,7 +160,7 @@ def maintenance_step(st: rt.RTState, ms: MaintState, seed,
         pids, ph, ok = _kf_landmarks(st, row, lim)
         words = _descend(st.pt_desc[ph], ok, node_bits, children,
                          word_id, depth)
-        bow = _bow_vector(words, ok, word_weight, n_words)
+        bow, has_words = _bow_vector(words, ok, word_weight, n_words)
 
         # Detection against the PRE-update database (self not included).
         scores = _l1_scores(bow, ms.kf_bow)
@@ -171,7 +176,7 @@ def maintenance_step(st: rt.RTState, ms: MaintState, seed,
         # mode's covisibility stand-in).
         nbr = db_ok & (ms.bow_lid >= lid - 8) & (ms.bow_lid <= lid - 1)
         min_sc = jnp.min(jnp.where(nbr, scores, 1.0))
-        hit = (best_sc > 0.0) & nbr.any() \
+        hit = (best_sc > 0.0) & nbr.any() & has_words \
             & (best_sc >= min_sc * cfg.loop.min_score_factor)
 
         near_prev = jnp.abs(best_lid - ms.cand_lid) <= 3
@@ -207,9 +212,10 @@ def maintenance_step(st: rt.RTState, ms: MaintState, seed,
         st, ms = carry
         words = _descend(st.fr_desc, st.fr_valid, node_bits, children,
                          word_id, depth)
-        bow = _bow_vector(words, st.fr_valid, word_weight, n_words)
+        bow, has_words = _bow_vector(words, st.fr_valid, word_weight,
+                                     n_words)
         db_ok = (ms.bow_lid >= 0) & (ms.bow_lid == st.kf_lid)
-        sc = jnp.where(db_ok, _l1_scores(bow, ms.kf_bow), -1.0)
+        sc = jnp.where(db_ok & has_words, _l1_scores(bow, ms.kf_bow), -1.0)
         best = jnp.argmax(sc)
 
         pids_b, ph_b, ok_b = _kf_landmarks(st, best, lim)
@@ -384,6 +390,10 @@ def _close_loop(st: rt.RTState, ms: MaintState, lid, cand_row, score,
 #: Process-wide caches keyed by (cfg, lim, vocab identity): a second
 #: session with the same setup reuses the compiled program AND the
 #: device-resident vocabulary arrays (see realtime._cached_step).
+#: Cache VALUES carry the vocabulary object itself: that pins the id()
+#: the key uses (a freed vocabulary's address could otherwise be reused
+#: by a DIFFERENT vocabulary, silently hitting the wrong entry) and the
+#: hit path verifies identity with `is`.
 _JIT_CACHE: dict = {}
 _VOC_DEV_CACHE: dict = {}
 
@@ -400,28 +410,30 @@ class Maintainer:
         # Device-resident vocabulary (ARGUMENTS of the jitted program, not
         # closed-over constants — constants would be baked into the
         # executable and re-shipped on every compile).
-        if id(voc) in _VOC_DEV_CACHE:
-            self._dev = _VOC_DEV_CACHE[id(voc)]
+        hit = _VOC_DEV_CACHE.get(id(voc))
+        if hit is not None and hit[0] is voc:
+            self._dev = hit[1]
         else:
             self._dev = (
                 jax.device_put(jnp.asarray(voc_mod._unpack(voc.node_desc))),
                 jax.device_put(jnp.asarray(voc.children)),
                 jax.device_put(jnp.asarray(voc.word_id)),
                 jax.device_put(jnp.asarray(voc.word_weight)))
-            _VOC_DEV_CACHE[id(voc)] = self._dev
+            _VOC_DEV_CACHE[id(voc)] = (voc, self._dev)
         try:
             key = (cfg, lim, id(voc))
             hash(key)
         except TypeError:
             key = None
-        if key is not None and key in _JIT_CACHE:
-            self._step = _JIT_CACHE[key]
+        jhit = _JIT_CACHE.get(key) if key is not None else None
+        if jhit is not None and jhit[0] is voc:
+            self._step = jhit[1]
         else:
             self._step = jax.jit(
                 lambda st, ms, seed, nb, ch, wi, ww: maintenance_step(
                     st, ms, seed, nb, ch, wi, ww, cfg, lim, self._depth))
             if key is not None:
-                _JIT_CACHE[key] = self._step
+                _JIT_CACHE[key] = (voc, self._step)
 
     def init_state(self) -> MaintState:
         K = self.lim.max_kf
@@ -437,9 +449,17 @@ class Maintainer:
         return self._step(st, ms, seed, *self._dev)
 
     def report(self, ms: MaintState) -> dict:
-        """Session-end readback of the maintenance outcome."""
+        """Session-end readback of the maintenance outcome.
+
+        ``loop_events`` is chronological (oldest surviving first): the
+        device log is a ring, so once more than LOG_ROWS events occurred
+        it is unwrapped here and only the newest LOG_ROWS survive."""
         n_ev = int(ms.n_events)
-        log = np.asarray(ms.loop_log)[:min(n_ev, LOG_ROWS)]
+        log = np.asarray(ms.loop_log)
+        if n_ev <= LOG_ROWS:
+            log = log[:n_ev]
+        else:
+            log = np.roll(log, -(n_ev % LOG_ROWS), axis=0)
         return {
             "loop_events": [
                 {"lid": int(r[0]), "cand_lid": int(r[1]),

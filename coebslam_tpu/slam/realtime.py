@@ -260,7 +260,12 @@ def _create_keyframe(st: RTState, fd, spawn_ok, pose: SE3, local_ids,
     ham = jnp.where(near, ham, 1e9)
     jbest = jnp.argmin(ham, axis=1)
     dbest = jnp.min(ham, axis=1)
-    assoc = (st.track.pids < 0) & feats.valid \
+    # Best-per-landmark (Fuse semantics, ORBmatcher.cc:826): without the
+    # mutual check two keypoints at the same corner could both claim one
+    # landmark, writing a duplicate pid into this keyframe's row.
+    ibest = jnp.argmin(ham, axis=0)
+    mutual = ibest[jbest] == jnp.arange(ham.shape[0])
+    assoc = (st.track.pids < 0) & feats.valid & mutual \
         & (dbest <= cfg.matcher.th_low)
     pids0 = jnp.where(assoc, local_ids[jbest], st.track.pids)
 
@@ -416,7 +421,7 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
     # every one to the chi^2 gate is a bad landmark (moving object residue
     # or a depth outlier) — MapPointCulling semantics without host lists.
     had = obs_valid.any(axis=1)
-    kept = res.obs_valid.any(axis=1) if hasattr(res, "obs_valid") else had
+    kept = res.obs_valid.any(axis=1)
     cull = had & ~kept & pt_valid_w
     new_valid_w = pt_valid_w & ~cull
     pt_valid = _unrotate_update(st.pt_valid, new_valid_w, base_phys)

@@ -191,9 +191,11 @@ class LiveViewer:
     finish() (a mid-run readback would degrade the client,
     docs/TPU_BACKEND_NOTES.md §1).
 
-    Usage:
+    Usage (CHAIN the existing on_frame — enable_realtime installs the
+    mapper poll there, and overwriting it would stall the async mapper):
         viewer = LiveViewer("/tmp/slamviz", every=15)
-        sysm.tracker.on_frame = viewer.hook(sysm)   # or call tick() manually
+        sysm.tracker.on_frame = viewer.hook(sysm,
+                                            chain=sysm.tracker.on_frame)
     """
 
     def __init__(self, out_dir: str, every: int = 15):
