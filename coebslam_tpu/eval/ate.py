@@ -84,7 +84,16 @@ def ate_rmse(est_stamps, est_xyz, gt_stamps, gt_xyz,
     ib = np.array([m[1] for m in matches])
     model = np.asarray(est_xyz)[ia].T
     data = np.asarray(gt_xyz)[ib].T
-    _, _, err = horn_align(model, data)
+    # Robustness: a tracker failure can emit non-finite poses; numpy's
+    # SVD then raises "did not converge" with no hint of the cause.
+    # Score over the finite pairs and REPORT the excluded count — a
+    # silent drop would hide the failure the metric exists to expose.
+    finite = np.isfinite(model).all(0) & np.isfinite(data).all(0)
+    n_bad = int((~finite).sum())
+    if finite.sum() < 2:
+        raise ValueError(
+            f"only {int(finite.sum())} finite pairs ({n_bad} non-finite)")
+    _, _, err = horn_align(model[:, finite], data[:, finite])
     return {
         "rmse": float(np.sqrt((err ** 2).mean())),
         "mean": float(err.mean()),
@@ -93,4 +102,5 @@ def ate_rmse(est_stamps, est_xyz, gt_stamps, gt_xyz,
         "min": float(err.min()),
         "max": float(err.max()),
         "pairs": len(matches),
+        "non_finite_pairs": n_bad,
     }

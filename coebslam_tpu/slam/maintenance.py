@@ -233,7 +233,8 @@ def maintenance_step(st: rt.RTState, ms: MaintState, seed,
         res = procrustes.ransac_alignment(
             src_w, dst_c, pair & has_d, k_reloc, n_hypotheses=256,
             threshold=RELOC_INLIER_M, with_scale=False)
-        applied = res.n_inliers >= RELOC_MIN_INLIERS
+        applied = (res.n_inliers >= RELOC_MIN_INLIERS) \
+            & jnp.isfinite(res.R).all() & jnp.isfinite(res.t).all()
 
         R_cw = so3_mod.orthonormalize(res.R)
         pids_new = jnp.where(res.inliers, pids_b[j], -1)
@@ -294,7 +295,11 @@ def _close_loop(st: rt.RTState, ms: MaintState, lid, cand_row, score,
     res = procrustes.ransac_alignment(
         src, dst, pair & has_d, key, n_hypotheses=256,
         threshold=ALIGN_INLIER_M, with_scale=False)
-    accepted = res.n_inliers >= cfg.loop.min_sim3_inliers
+    # A rank-deficient inlier set (coplanar/collinear points) can emit a
+    # non-finite SVD solution without raising; one NaN pose would
+    # propagate through the pose graph into every arena.  Reject it.
+    solve_ok = jnp.isfinite(res.R).all() & jnp.isfinite(res.t).all()
+    accepted = solve_ok & (res.n_inliers >= cfg.loop.min_sim3_inliers)
 
     # ---- event log (always recorded, applied flag says the rest)
     ev = jnp.stack([lid.astype(jnp.float32),
@@ -352,7 +357,11 @@ def _close_loop(st: rt.RTState, ms: MaintState, lid, cand_row, score,
             edge_valid=edge_valid, edge_weight=edge_w)
         sol = pg.optimize_pose_graph(prob, cfg.optimizer, fix_scale=True)
 
-        changed = (~fixed) & valid_nodes
+        # Per-node finite guard: a degenerate normal system (isolated
+        # node, singular block) must not write NaN into the ring.
+        node_ok = jnp.isfinite(sol.R).all(axis=(1, 2)) \
+            & jnp.isfinite(sol.t).all(axis=1)
+        changed = (~fixed) & valid_nodes & node_ok
         Rn = jnp.where(changed[:, None, None], sol.R, st.kf_R)
         tn = jnp.where(changed[:, None], sol.t, st.kf_t)
 
