@@ -51,6 +51,7 @@ N_WARM = 30
 DETECT_HZ = 3.0      # detector-process rate (reference: CPU YOLOv5s over
                      # ROS reaches a few Hz; ApproximateTime tolerates it)
 REPLICA_FRAMES = 400
+CLOSURE_FRAMES = 300        # revisiting (out-and-back) replica variant
 REPLICA_HOST_FRAMES = 100   # host pipeline replays a 100-frame prefix
                             # (it pays ~0.5 s/frame of relay tax — see
                             # docs/TPU_BACKEND_NOTES.md §11 — and the
@@ -97,7 +98,8 @@ def _render_frames(cache: str) -> None:
     subprocess.run([sys.executable, "-c", helper], check=True, timeout=1800)
 
 
-def _ensure_replica(root: str) -> None:
+def _ensure_replica(root: str, n_frames: int = REPLICA_FRAMES,
+                    closure: bool = False) -> None:
     """Render the TUM-format replica in a CPU child (same rationale)."""
     if os.path.exists(os.path.join(root, "groundtruth.txt")):
         return
@@ -105,7 +107,8 @@ def _ensure_replica(root: str) -> None:
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         f"import sys; sys.path.insert(0, {ROOT!r})\n"
         "from coebslam_tpu.utils import replica\n"
-        f"replica.generate({root!r}, n_frames={REPLICA_FRAMES}, seed=0)\n")
+        f"replica.generate({root!r}, n_frames={n_frames}, seed=0, "
+        f"closure={closure})\n")
     subprocess.run([sys.executable, "-c", helper], check=True, timeout=1800)
 
 
@@ -225,6 +228,17 @@ def _gt_centers(n):
     from coebslam_tpu.utils import synthetic
     poses = synthetic.camera_trajectory(N_FRAMES, radius=0.35)
     c = np.asarray([-np.asarray(p.R).T @ np.asarray(p.t) for p in poses])
+    # Pin the tiling assumption: the orbit must actually CLOSE (frame
+    # N_FRAMES ≡ frame 0), or the second replay pass is scored against
+    # the wrong ground truth.  The wrap step |c[0]-c[-1]| must look like
+    # one more orbit step; a non-periodic trajectory (forward != 0, or a
+    # reparameterized generator) fails loudly here instead of silently
+    # repeating the round-3 scoring bug.
+    step = np.linalg.norm(np.diff(c, axis=0), axis=1)
+    wrap = np.linalg.norm(c[0] - c[-1])
+    assert wrap <= 3.0 * np.median(step) + 1e-6, (
+        f"camera_trajectory no longer closes: wrap step {wrap:.4f} vs "
+        f"median step {np.median(step):.4f} — tiled ground truth invalid")
     reps = (n + N_FRAMES - 1) // N_FRAMES
     return np.tile(c, (reps, 1))[:n]
 
@@ -369,6 +383,60 @@ def _load_replica(cfg):
     return seq, frames, boxes_of
 
 
+def _load_closure_replica(cfg):
+    from coebslam_tpu.io import tum
+    from coebslam_tpu.utils import replica as replica_mod
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"coebslam_replica_cl{CLOSURE_FRAMES}_s0")
+    _ensure_replica(root, n_frames=CLOSURE_FRAMES, closure=True)
+    seq = tum.load_tum_sequence(root)
+    bstamps, bboxes = replica_mod.load_boxes(
+        os.path.join(root, "boxes.txt"), max_boxes=cfg.dynamic.max_boxes)
+
+    def boxes_of(stamp):
+        if len(bstamps) == 0:
+            return None
+        j = int(np.argmin(np.abs(bstamps - stamp)))
+        return bboxes[j] if abs(bstamps[j] - stamp) < 0.03 else None
+
+    frames = [seq.load_frame_raw(i) for i in range(len(seq))]
+    return seq, frames, boxes_of
+
+
+def run_realtime_closure(cfg, voc, frames, boxes_of):
+    """Revisiting-replica realtime run (out-and-back trajectory + walker
+    + blur): the dataset-wire loop-closure validation — NO readback."""
+    from coebslam_tpu.slam.realtime import RealtimeSlam
+
+    rt = RealtimeSlam(cfg, vocabulary=voc, maintain_every=4)
+    t0 = time.perf_counter()
+    for stamp, gray, depth in frames:
+        rt.track(gray, depth, stamp=stamp, boxes=boxes_of(stamp))
+    rt.block()
+    return rt, time.perf_counter() - t0
+
+
+def score_closure(rt, wall, seq, n):
+    from coebslam_tpu.eval import ate
+    res = rt.finish()
+    est = np.asarray([-R.T @ t for R, t in zip(res["R"], res["t"])])
+    r = ate.ate_rmse(res["stamps"], est, seq.gt_stamps,
+                     seq.gt_poses[:, :3])
+    out = {
+        "closure_rt_ate_m": round(float(r["rmse"]), 4),
+        "closure_rt_fps": round(n / wall, 1),
+        "closure_loops_closed": res.get("n_loops_closed"),
+        "closure_loop_events": res.get("n_loop_events"),
+    }
+    print(f"closure replica: ATE {r['rmse']*100:.2f} cm; "
+          f"{out['closure_rt_fps']} fps; "
+          f"loops={out['closure_loops_closed']}/"
+          f"{out['closure_loop_events']} events",
+          file=sys.stderr, flush=True)
+    return out
+
+
 def run_realtime_replica(cfg, voc, frames, boxes_of):
     """Dataset-scale realtime run (400-frame TUM-wire replica: walker +
     blur + shake) — shares the compiled step with the synthetic run
@@ -419,6 +487,25 @@ def score_replica_rt(rt, wall, maint_times, seq, n):
         "replica_loops_closed": res.get("n_loops_closed"),
         "replica_reloc": res.get("n_relocalizations"),
     }
+    # Offline refinement of the SAME session (handoff + global BA — the
+    # reference's detached-GBA role, LoopClosing.cc:646-750): the
+    # "zero-sync front-end + offline polish" accuracy claim, measured.
+    try:
+        from coebslam_tpu.config import SystemConfig
+        from coebslam_tpu.slam import handoff
+        t0 = time.perf_counter()
+        m, kf_ids, n_opt = handoff.refine(res, SystemConfig())
+        traj2 = handoff.refined_trajectory(res, m, kf_ids)
+        est2 = np.asarray([-P[:, :3].T @ P[:, 3] for P in traj2])
+        r_ref = ate.ate_rmse(res["stamps"], est2, seq.gt_stamps,
+                             seq.gt_poses[:, :3])
+        out["replica_rt_refined_ate_m"] = round(float(r_ref["rmse"]), 4)
+        out["refine_wall_s"] = round(time.perf_counter() - t0, 1)
+        print(f"replica realtime+refine: ATE {r_ref['rmse']*100:.2f} cm "
+              f"({n_opt} KFs refined in {out['refine_wall_s']}s)",
+              file=sys.stderr, flush=True)
+    except Exception as e:                      # pragma: no cover
+        print(f"refine scoring failed: {e!r}", file=sys.stderr)
     if maint_times:
         steady = maint_times[2:] or maint_times   # first ones compile
         out["maint_ms_median"] = round(float(np.median(steady)), 1)
@@ -509,6 +596,11 @@ def main():
         seq, frames, boxes_of = _load_replica(cfg)
     except Exception as e:                      # pragma: no cover
         print(f"replica load failed: {e!r}", file=sys.stderr)
+    cseq = cframes = cboxes_of = None
+    try:
+        cseq, cframes, cboxes_of = _load_closure_replica(cfg)
+    except Exception as e:                      # pragma: no cover
+        print(f"closure replica load failed: {e!r}", file=sys.stderr)
 
     det_proc = None
     try:
@@ -518,6 +610,8 @@ def main():
               file=sys.stderr)
     replica_extra = {}
     loop_run = None
+    cl_run = None
+    rep_run = None
     try:
         rt1, fps, maint_ms = run_realtime(G, D, B, cfg, voc)
         rep_run = None
@@ -526,6 +620,12 @@ def main():
                 rep_run = run_realtime_replica(cfg, voc, frames, boxes_of)
             except Exception as e:              # pragma: no cover
                 print(f"replica realtime failed: {e!r}", file=sys.stderr)
+        cl_run = None
+        if cframes is not None and voc is not None:
+            try:
+                cl_run = run_realtime_closure(cfg, voc, cframes, cboxes_of)
+            except Exception as e:              # pragma: no cover
+                print(f"closure realtime failed: {e!r}", file=sys.stderr)
         if voc is not None:
             try:
                 loop_run = run_loop_event(cfg, voc)
@@ -551,6 +651,12 @@ def main():
                                              len(frames))
         except Exception as e:                  # pragma: no cover
             print(f"replica scoring failed: {e!r}", file=sys.stderr)
+    if cl_run is not None:
+        try:
+            replica_extra.update(
+                score_closure(cl_run[0], cl_run[1], cseq, len(cframes)))
+        except Exception as e:                  # pragma: no cover
+            print(f"closure scoring failed: {e!r}", file=sys.stderr)
     if loop_run is not None:
         try:
             replica_extra.update(score_loop_event(*loop_run))

@@ -75,8 +75,15 @@ def _calc_w_coeffs(omega, sigma):
     theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     s = jnp.exp(sigma)
     sigma2 = sigma * sigma
-    small_s = jnp.abs(sigma) < _EPS
-    small_t = theta < _EPS
+    # Branch thresholds sized for float32, NOT epsilon-small: the closed
+    # forms difference like (theta - sin theta)/theta^3, which loses ALL
+    # f32 precision below theta ~ 1e-2 (at theta = 1e-7 the numerator
+    # underflows and the jacfwd tangents go NaN — this silently disabled
+    # every near-converged pose-graph iteration until round 5).  The
+    # Taylor branches carry enough terms to be exact to f32 at the
+    # crossover.
+    small_s = jnp.abs(sigma) < 1e-3
+    small_t = theta < 1e-2
 
     safe_sigma = jnp.where(small_s, 1.0, sigma)
     safe_sigma2 = jnp.where(small_s, 1.0, sigma2)

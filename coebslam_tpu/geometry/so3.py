@@ -35,8 +35,10 @@ def exp(w):
     """
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS ** 2))
-    # Taylor-safe coefficients: sin(t)/t and (1-cos(t))/t^2.
-    small = theta2 < _EPS
+    # Taylor-safe coefficients: sin(t)/t and (1-cos(t))/t^2.  The branch
+    # threshold is sized for f32: (1 - cos t) loses all precision below
+    # t ~ 3e-4 (1-cos < ulp(1)), so switch to the series well above that.
+    small = theta2 < 1e-4                      # theta < 1e-2
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     W = hat(w)

@@ -76,3 +76,77 @@ def segment_of_keyframe(kf_id: int, n_segments: int,
     (SURVEY §5.8 collective cost model)."""
     seg = kf_id * n_segments // max(max_keyframes, 1)
     return min(seg, n_segments - 1)
+
+
+def arena_to_ba_problem(m, cfg, max_obs: int = 16, n_segments: int = 1,
+                        pad_points_to: int = 1):
+    """REAL-map bridge: a host `MapArena` (the realtime handoff product,
+    slam/handoff.to_arena) as a `local_ba.BAProblem` with its points
+    ORDERED BY TRAJECTORY SEGMENT, ready for the segment-sharded solvers
+    (parallel.sharded_ba over a `make_hybrid_mesh`).
+
+    With points grouped by their anchor keyframe's segment
+    (`segment_of_keyframe` of the FIRST observer), a
+    `PartitionSpec((DCN_AXIS, ICI_AXIS))` shard of the point axis places
+    each segment's points on its own DCN group — the Schur partials a
+    segment contributes are computed where its data lives, and only the
+    psum'd [K,6x6] reduced system crosses DCN (SURVEY §5.8).
+
+    Returns (problem, kfs, pts, segment_of_point).
+    """
+    import jax.numpy as jnp
+    from ..optim.local_ba import BAProblem
+
+    kfs = np.asarray(m.valid_keyframes())
+    pts = np.asarray(m.valid_points())
+    n_k, n_p = len(kfs), len(pts)
+    win_of_kf = np.full(m.kf_R.shape[0] + 1, -1, np.int32)
+    win_of_kf[kfs] = np.arange(n_k)
+
+    # Segment of a point = segment of its first live observer.
+    okf = m.pt_obs_kf[pts]                     # [n_p, MAX_OBS]
+    live = okf >= 0
+    first_kf = okf[np.arange(n_p), np.argmax(live, axis=1)]
+    seg_of_kf = np.asarray([segment_of_keyframe(int(w), n_segments, n_k)
+                            for w in win_of_kf[kfs]])
+    seg_of_pt = seg_of_kf[np.clip(win_of_kf[first_kf], 0, n_k - 1)]
+    order = np.argsort(seg_of_pt, kind="stable")
+    pts = pts[order]
+    seg_of_pt = seg_of_pt[order]
+
+    okf = m.pt_obs_kf[pts]
+    oslot = m.pt_obs_slot[pts]
+    live = okf >= 0
+    sel_order = np.argsort(~live, axis=1, kind="stable")[:, :max_obs]
+    sel = np.take_along_axis(live, sel_order, 1)
+    gkf = np.take_along_axis(okf, sel_order, 1)
+    gslot = np.take_along_axis(oslot, sel_order, 1)
+    gkf_c = np.clip(gkf, 0, None)
+    gslot_c = np.clip(gslot, 0, None)
+    uv = m.kf_uv[gkf_c, gslot_c]               # [n_p, M, 2]
+    ur = m.kf_ur[gkf_c, gslot_c]
+    lvl = m.kf_level[gkf_c, gslot_c].astype(np.float32)
+    sf2 = float(cfg.orb.scale_factor) ** 2
+    obs_kf = np.where(sel, win_of_kf[gkf_c], -1).astype(np.int32)
+
+    # Pad the point axis up to a shard-divisible size (invalid rows).
+    P = -(-n_p // pad_points_to) * pad_points_to
+    pad = P - n_p
+
+    def padp(a, fill=0):
+        return np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+
+    kf_fixed = np.zeros(n_k, bool)
+    kf_fixed[0] = True
+    prob = BAProblem(
+        kf_R=jnp.asarray(m.kf_R[kfs]), kf_t=jnp.asarray(m.kf_t[kfs]),
+        kf_fixed=jnp.asarray(kf_fixed), kf_valid=jnp.ones(n_k, bool),
+        pt_pos=jnp.asarray(padp(m.pt_pos[pts])),
+        pt_valid=jnp.asarray(padp(np.ones(n_p, bool), False)),
+        obs_kf=jnp.asarray(padp(obs_kf, -1)),
+        obs_uvr=jnp.asarray(
+            padp(np.concatenate([uv, ur[..., None]], axis=-1))),
+        obs_w=jnp.asarray(padp((1.0 / sf2 ** lvl).astype(np.float32))),
+        obs_valid=jnp.asarray(padp(sel & (obs_kf >= 0), False)))
+    return prob, kfs, pts, seg_of_pt

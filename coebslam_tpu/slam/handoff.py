@@ -113,8 +113,10 @@ def to_arena(res: dict, cfg: SystemConfig, stamps=None):
             obs[i, :, :2], level, angle, desc, depth,
             np.where(has_d, ur, -1.0), kpv[i], point_ids)
         kf_ids.append(k)
-    for pid, aid in arena_of.items():
-        m.update_point_stats(aid)
+    if arena_of:
+        # One batched call: update_point_stats accepts an id array, and a
+        # per-landmark Python loop pays thousands of native round trips.
+        m.update_point_stats(np.fromiter(arena_of.values(), np.int64))
     return m, kf_ids
 
 
@@ -126,3 +128,37 @@ def refine(res: dict, cfg: SystemConfig, stamps=None):
     m, kf_ids = to_arena(res, cfg, stamps=stamps)
     n = GlobalBA(cfg).run(m)
     return m, kf_ids, n
+
+
+def refined_trajectory(res: dict, arena, kf_ids):
+    """Re-base the full realtime trajectory onto the REFINED keyframe
+    poses: each frame keeps its pose relative to the latest keyframe at
+    or before it, exactly the reference's trajectory writer
+    (System::SaveTrajectoryTUM replays mlRelativeFramePoses against the
+    corrected keyframes, System.cc:331-401).
+
+    Returns [F, 3, 4] corrected (R|t) world-to-camera poses aligned with
+    ``res["stamps"]``.
+    """
+    R_f = np.asarray(res["R"])
+    t_f = np.asarray(res["t"])
+    n = len(R_f)
+    dropped = res.get("frames_dropped", 0)
+    kf_frames = np.asarray(res["kf_frame"]) - dropped   # trajectory index
+    out = np.zeros((n, 3, 4), np.float32)
+    # Latest keyframe at-or-before each frame (kf_frames is sorted —
+    # lid order IS temporal order).
+    j = np.searchsorted(kf_frames, np.arange(n), side="right") - 1
+    j = np.clip(j, 0, len(kf_ids) - 1)
+    kf_R_old = np.asarray(res["kf_R"])
+    kf_t_old = np.asarray(res["kf_t"])
+    kf_R_new = arena.kf_R[np.asarray(kf_ids)]
+    kf_t_new = arena.kf_t[np.asarray(kf_ids)]
+    for i in range(n):
+        k = j[i]
+        # T_rel = T_f ∘ (T_k^old)^-1 ;  T_f' = T_rel ∘ T_k^new
+        Rr = R_f[i] @ kf_R_old[k].T
+        tr = t_f[i] - Rr @ kf_t_old[k]
+        out[i, :, :3] = Rr @ kf_R_new[k]
+        out[i, :, 3] = Rr @ kf_t_new[k] + tr
+    return out

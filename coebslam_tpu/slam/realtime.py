@@ -89,6 +89,16 @@ class RTLimits(NamedTuple):
     local_window: int = 12    # keyframe chunks visible to tracking
     max_frames: int = 4096    # trajectory ring capacity
     reuse_chunks: int = 2     # extra chunks re-exposed after a loop closure
+    # Persistent place bank (slam/maintenance.py): every processed
+    # keyframe leaves a compact entry — sparse top-k BoW row + pose + a
+    # landmark subset — that OUTLIVES its ring slot, so loop closing and
+    # relocalization work against places the ring evicted long ago (the
+    # reference's KeyFrameDatabase remembers every keyframe,
+    # KeyFrameDatabase.cc:33-46; the ring alone forgets after max_kf).
+    bank_cap: int = 1024      # bank entries (places remembered)
+    bank_words: int = 64      # top-k BoW words kept per entry (sparse row)
+    bank_landmarks: int = 128 # landmark subset stored per entry
+    seed_slots: int = 256     # arena rows reserved for bank re-seeding
 
 
 class RTState(NamedTuple):
@@ -113,8 +123,12 @@ class RTState(NamedTuple):
     pt_normal: jnp.ndarray          # [K*S, 3]
     pt_mind: jnp.ndarray            # [K*S]
     pt_maxd: jnp.ndarray            # [K*S]
-    # trajectory ring (pose written every frame; fetched once at finish)
-    traj: jnp.ndarray               # [F, 13] (ok, R.flat, t)
+    # trajectory ring (pose written every frame; fetched once at finish).
+    # Column 13 is the OWNER keyframe lid (newest at write time): loop
+    # closures re-map written rows through their owner's correction, so
+    # a closure repairs the PAST trajectory exactly like the reference's
+    # keyframe-relative trajectory export (System.cc:331-401).
+    traj: jnp.ndarray               # [F, 14] (ok, R.flat, t, owner_lid)
     frame_idx: jnp.ndarray          # int32
     # keyframe-policy counters (Tracking.h:89-98 equivalents)
     frames_since_kf: jnp.ndarray    # int32
@@ -132,6 +146,12 @@ class RTState(NamedTuple):
     # are re-exposed to tracking after a closure (temporal-window revisit fix)
     reuse_lid: jnp.ndarray          # int32 (-1 none)
     reuse_ttl: jnp.ndarray          # int32 frames remaining
+    # bank re-seed window: after a closure/reloc against a BANK place
+    # (evicted from the ring), its stored landmark subset is copied into
+    # the seed arena rows [K*S, K*S+seed_slots) and exposed to tracking
+    # while this TTL runs (SearchAndFuse's re-observation role for
+    # places the ring no longer holds)
+    seed_ttl: jnp.ndarray           # int32 frames remaining
     # in-graph health counters (surfaced by finish())
     n_ba_culled: jnp.ndarray        # int32 points culled by the BA chi2 gate
     n_assoc: jnp.ndarray            # int32 spawn-avoided (fused) associations
@@ -140,7 +160,9 @@ class RTState(NamedTuple):
 def init_state(cfg: SystemConfig, lim: RTLimits) -> RTState:
     N = cfg.orb.max_keypoints
     K, S, F = lim.max_kf, lim.spawn_per_kf, lim.max_frames
-    P = K * S
+    # Point arrays carry seed_slots EXTRA rows past the K*S ring chunks:
+    # the bank re-seed staging area (see RTLimits.seed_slots).
+    P = K * S + lim.seed_slots
     f32, i32 = jnp.float32, jnp.int32
     track = DevTrackState(
         R=jnp.eye(3, dtype=f32), t=jnp.zeros(3, f32),
@@ -160,14 +182,14 @@ def init_state(cfg: SystemConfig, lim: RTLimits) -> RTState:
         pt_valid=jnp.zeros(P, bool), pt_angle=jnp.zeros(P, f32),
         pt_normal=jnp.zeros((P, 3), f32),
         pt_mind=jnp.full(P, 1e-2, f32), pt_maxd=jnp.full(P, 1e3, f32),
-        traj=jnp.zeros((F, 13), f32), frame_idx=i32(0),
+        traj=jnp.zeros((F, 14), f32), frame_idx=i32(0),
         frames_since_kf=i32(0), peak_inliers=i32(0),
         budget=i32(cfg.orb.n_features), consec_ok=i32(0),
         strong_frames=i32(0), n_lost=i32(0),
         fr_desc=jnp.zeros((N, 32), jnp.uint8),
         fr_uv=jnp.zeros((N, 2), f32), fr_depth=jnp.zeros(N, f32),
         fr_valid=jnp.zeros(N, bool),
-        reuse_lid=i32(-1), reuse_ttl=i32(0),
+        reuse_lid=i32(-1), reuse_ttl=i32(0), seed_ttl=i32(0),
         n_ba_culled=i32(0), n_assoc=i32(0))
 
 
@@ -176,16 +198,28 @@ def init_state(cfg: SystemConfig, lim: RTLimits) -> RTState:
 # --------------------------------------------------------------------- #
 
 
+#: Logical-pid base of the SEED range: pids >= SEED_BASE address the
+#: bank re-seed staging rows (row = K*S + pid - SEED_BASE) instead of a
+#: ring chunk.  Far above any reachable ring pid (ring pids stay below
+#: n_kf * S; a 30 Hz session would need ~2 years to reach 2^28).
+SEED_BASE = 1 << 28
+
+
 def pid_phys(pids, lim: RTLimits):
     """Physical arena row of a logical point id (callers mask validity)."""
-    return jnp.clip(pids, 0) % (lim.max_kf * lim.spawn_per_kf)
+    PT = lim.max_kf * lim.spawn_per_kf
+    seed_row = PT + jnp.clip(pids - SEED_BASE, 0, lim.seed_slots - 1)
+    return jnp.where(pids >= SEED_BASE, seed_row, jnp.clip(pids, 0) % PT)
 
 
-def pid_alive(pids, kf_lid, lim: RTLimits):
+def pid_alive(pids, kf_lid, lim: RTLimits, seed_ok=False):
     """A logical pid is alive while its owner chunk's ring row still holds
-    the owning keyframe (the chunk is recycled together with the row)."""
+    the owning keyframe (the chunk is recycled together with the row).
+    SEED-range pids are alive iff the caller says the seed window is
+    (``seed_ok`` — typically ``state.seed_ttl > 0``)."""
     owner = jnp.clip(pids, 0) // lim.spawn_per_kf         # logical KF id
-    return (pids >= 0) & (kf_lid[owner % lim.max_kf] == owner)
+    ring = (pids >= 0) & (kf_lid[owner % lim.max_kf] == owner)
+    return jnp.where(pids >= SEED_BASE, seed_ok, ring)
 
 
 def _rotate(a, k):
@@ -414,8 +448,12 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
         tw = jnp.where(keep, kf_t_w[w], res.kf_t[w])
         kf_R = jax.lax.dynamic_update_slice(kf_R, Rw[None], (rows_c[w], 0, 0))
         kf_t = jax.lax.dynamic_update_slice(kf_t, tw[None], (rows_c[w], 0))
+    # Writebacks wrap within the RING rows [0, K*S) only — the seed
+    # staging rows past PT must never be clobbered by a wrapped window.
     new_pos = jnp.where(pt_valid_w[:, None], res.pt_pos, pt_pos_w)
-    pt_pos = _unrotate_update(st.pt_pos, new_pos, base_phys)
+    pt_pos = jnp.concatenate(
+        [_unrotate_update(st.pt_pos[:PT], new_pos, base_phys),
+         st.pt_pos[PT:]])
 
     # In-graph point culling: a window point that HAD observations but lost
     # every one to the chi^2 gate is a bad landmark (moving object residue
@@ -424,7 +462,9 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
     kept = res.obs_valid.any(axis=1)
     cull = had & ~kept & pt_valid_w
     new_valid_w = pt_valid_w & ~cull
-    pt_valid = _unrotate_update(st.pt_valid, new_valid_w, base_phys)
+    pt_valid = jnp.concatenate(
+        [_unrotate_update(st.pt_valid[:PT], new_valid_w, base_phys),
+         st.pt_valid[PT:]])
 
     # The live pose adopts the newest KF's refinement so the next frame's
     # prediction doesn't fight the adjusted map (Tracking.cc:558-574's
@@ -458,22 +498,24 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     PT = K * S
 
     g = gray.astype(jnp.float32)
-    if cfg.sensor == "stereo":
-        fd = frame_mod.process_stereo(
-            g, depth.astype(jnp.float32), cam, cfg.orb,
-            n_features=st.budget, dynamic_mask=st.dyn.sticky > 0,
-            area_mode=st.dyn.area_flag)
-    else:
-        if jnp.issubdtype(depth.dtype, jnp.integer):
-            d = depth.astype(jnp.float32) / cam.depth_map_factor
+    with jax.named_scope("frontend"):
+        if cfg.sensor == "stereo":
+            fd = frame_mod.process_stereo(
+                g, depth.astype(jnp.float32), cam, cfg.orb,
+                n_features=st.budget, dynamic_mask=st.dyn.sticky > 0,
+                area_mode=st.dyn.area_flag)
         else:
-            d = depth.astype(jnp.float32)
-        fd = frame_mod.process_rgbd(
-            g, d, cam, cfg.orb, n_features=st.budget,
-            dynamic_mask=st.dyn.sticky > 0, area_mode=st.dyn.area_flag)
+            if jnp.issubdtype(depth.dtype, jnp.integer):
+                d = depth.astype(jnp.float32) / cam.depth_map_factor
+            else:
+                d = depth.astype(jnp.float32)
+            fd = frame_mod.process_rgbd(
+                g, d, cam, cfg.orb, n_features=st.budget,
+                dynamic_mask=st.dyn.sticky > 0, area_mode=st.dyn.area_flag)
     key = jax.random.PRNGKey(seed)
-    fd, spawn_ok, dyn2, _info = dynamic_mod.dynamic_step(
-        fd, g, st.dyn, boxes, key, cfg)
+    with jax.named_scope("dynamic_frontend"):
+        fd, spawn_ok, dyn2, _info = dynamic_mod.dynamic_step(
+            fd, g, st.dyn, boxes, key, cfg)
 
     # Tracking local map = the last `local_window` keyframe chunks, plus
     # the loop-closure reuse window (revisit chunks re-exposed by the
@@ -491,11 +533,17 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     reuse_valid = reuse_on & (reuse_ids < st.n_kf * S) \
         & pid_alive(reuse_ids, st.kf_lid, lim)
 
-    local_ids = jnp.concatenate([temporal_ids, reuse_ids])
-    local_alive = jnp.concatenate([temporal_valid, reuse_valid])
+    # Bank re-seed window: landmarks of a bank place (evicted from the
+    # ring) staged by the maintenance program after a bank closure/reloc.
+    seed_ids = SEED_BASE + jnp.arange(lim.seed_slots)
+    seed_valid = jnp.full(lim.seed_slots, st.seed_ttl > 0)
+
+    local_ids = jnp.concatenate([temporal_ids, reuse_ids, seed_ids])
+    local_alive = jnp.concatenate([temporal_valid, reuse_valid, seed_valid])
     local_phys = pid_phys(local_ids, lim)
 
-    pt_sd = brief.to_signed(brief.unpack_bits(st.pt_desc))
+    with jax.named_scope("arena_unpack"):
+        pt_sd = brief.to_signed(brief.unpack_bits(st.pt_desc))
     arena = (st.pt_pos, pt_sd, st.pt_valid, st.pt_angle, st.pt_normal,
              st.pt_mind, st.pt_maxd)
     gate = 1.0 + st.n_lost.astype(jnp.float32)
@@ -503,16 +551,21 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     # fused_step indexes the arena with PHYSICAL rows; its candidate chain
     # (state.pids) must be physical too, with evicted chunks masked out.
     pids_log = st.track.pids
-    alive_in = pid_alive(pids_log, st.kf_lid, lim)
+    alive_in = pid_alive(pids_log, st.kf_lid, lim, seed_ok=st.seed_ttl > 0)
     track_in = st.track._replace(
         pids=jnp.where(alive_in, pid_phys(pids_log, lim), -1))
-    out = fused_step(fd, track_in, local_phys, local_alive, arena, gate, cfg)
+    with jax.named_scope("tracking"):
+        out = fused_step(fd, track_in, local_phys, local_alive, arena,
+                         gate, cfg)
 
     # Translate returned physical pids back to logical via the chunk's
-    # current tenant (exact: a chunk visible to matching IS its tenant's).
+    # current tenant (exact: a chunk visible to matching IS its tenant's);
+    # seed rows (>= K*S) map back into the SEED_BASE logical range.
     def to_logical(phys):
         owner = st.kf_lid[jnp.clip(phys, 0) // S % K]
-        return jnp.where(phys >= 0, owner * S + jnp.clip(phys, 0) % S, -1)
+        ring_log = owner * S + jnp.clip(phys, 0) % S
+        return jnp.where(phys >= PT, SEED_BASE + phys - PT,
+                         jnp.where(phys >= 0, ring_log, -1))
 
     track2 = out.state._replace(pids=to_logical(out.state.pids))
 
@@ -547,12 +600,14 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
                      frames_since_kf=fsk,
                      fr_desc=fd.feats.desc, fr_uv=fd.feats.uv,
                      fr_depth=fd.depth, fr_valid=fd.feats.valid,
-                     reuse_ttl=jnp.maximum(st.reuse_ttl - 1, 0))
-    st = jax.lax.cond(
-        need_kf,
-        lambda s: _create_keyframe(s, fd, spawn_ok, pose, local_ids,
-                                   local_alive, cfg, lim),
-        lambda s: s, st)
+                     reuse_ttl=jnp.maximum(st.reuse_ttl - 1, 0),
+                     seed_ttl=jnp.maximum(st.seed_ttl - 1, 0))
+    with jax.named_scope("keyframe_ba"):
+        st = jax.lax.cond(
+            need_kf,
+            lambda s: _create_keyframe(s, fd, spawn_ok, pose, local_ids,
+                                       local_alive, cfg, lim),
+            lambda s: s, st)
 
     # ---- COEB adaptive feature budget (Tracking.cc:417-466), in-graph.
     if t_cfg.adaptive_budget:
@@ -576,7 +631,8 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     # ---- trajectory ring (true ring: frame f lives at f % F; finish()
     # unwraps and reports how many early frames the ring dropped)
     row = jnp.concatenate([ok.astype(jnp.float32)[None],
-                           st.track.R.reshape(9), st.track.t])
+                           st.track.R.reshape(9), st.track.t,
+                           (st.n_kf - 1).astype(jnp.float32)[None]])
     fi = st.frame_idx % lim.max_frames
     traj = jax.lax.dynamic_update_slice(st.traj, row[None], (fi, 0))
     return st._replace(traj=traj, frame_idx=st.frame_idx + 1)
@@ -607,6 +663,11 @@ def _cached_step(cfg: SystemConfig, lim: RTLimits):
     step = jax.jit(lambda g, d, b, s, st: rt_step(g, d, b, s, st, cfg, lim))
     if key is not None:
         _STEP_CACHE[key] = step
+        # Bounded (oldest-out): the retention win is the same-config
+        # case; a host cycling many configs must not pin executables
+        # for the process lifetime.
+        while len(_STEP_CACHE) > 8:
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
     return step
 
 

@@ -91,7 +91,9 @@ def track_step(frame: FrameData, pose_pred: SE3, pts_w, pt_signed_desc,
                           pt_normal)
     vis = vis & dist_ok & (view_cos > 0.5)
 
-    d = matching.hamming_matrix(frame.feats.signed_desc(), pt_signed_desc)
+    with jax.named_scope("hamming"):
+        d = matching.hamming_matrix(frame.feats.signed_desc(),
+                                    pt_signed_desc)
     # Window: frame keypoint within `radius * level_scale` of the projection.
     scale = cfg.orb.scale_factor ** frame.feats.level.astype(jnp.float32)
     dx = jnp.abs(frame.feats.uv[:, None, 0] - uvr[None, :, 0])
@@ -123,8 +125,10 @@ def track_step(frame: FrameData, pose_pred: SE3, pts_w, pt_signed_desc,
                                             cfg.matcher.histo_length)
 
     X = pts_w[jnp.clip(res.idx, 0)]
-    opt = pose_gn.optimize_pose(pose_pred, X, frame.obs, frame.inv_sigma2,
-                                res.valid, cam, cfg.optimizer)
+    with jax.named_scope("pose_gn"):
+        opt = pose_gn.optimize_pose(pose_pred, X, frame.obs,
+                                    frame.inv_sigma2, res.valid, cam,
+                                    cfg.optimizer)
     idx = jnp.where(opt.inliers, res.idx, -1)
     return TrackStepResult(pose=opt.pose, point_idx=idx,
                            inliers=opt.inliers, n_inliers=opt.n_inliers,
@@ -275,9 +279,14 @@ def fused_step(fd: FrameData, state: DevTrackState, local_ids, local_valid,
     # Tracker._recover) and widens with the outage gate: a fast yaw can
     # shift features ~35 px in ONE frame with no velocity model yet, and
     # a search that only grows as fast as the offset never re-attaches.
+    # The 50 px floor applies ONLY during an outage (gate widened) or
+    # when no velocity model exists yet — with healthy tracking the
+    # retry stays at 2*r_mm so repetitive texture can't alias into it.
     # Radii are mask parameters (traced floats), so widening is free.
     widen = jnp.minimum(gate_scale, 3.0)
-    r1 = jnp.maximum(2.0 * r_mm, 50.0) * widen
+    outage = (widen > 1.0) | ~state.has_vel
+    r1 = jnp.where(outage, jnp.maximum(2.0 * r_mm, 50.0) * widen,
+                   2.0 * r_mm)
     stage_r = jnp.stack([jnp.float32(r_mm), r1, 16.0 * widen,
                          jnp.float32(6.0)])
     # Pose source per stage: 0 = motion prediction, 1 = last pose
@@ -291,9 +300,25 @@ def fused_step(fd: FrameData, state: DevTrackState, local_ids, local_valid,
         ids, idv, radius, src, is_retry, is_2a = xs
         pose_in = _select(src == 0, pose_pred,
                           _select(src == 1, pose_last, pose_cur))
-        res = track_step(fd, pose_in, pos[ids], sd[ids], idv & pv[ids],
-                         pa[ids], pn[ids], pmin[ids], pmax[ids],
-                         radius, cfg)
+
+        def compute(_):
+            with jax.named_scope("track_stage"):
+                return track_step(fd, pose_in, pos[ids], sd[ids],
+                                  idv & pv[ids], pa[ids], pn[ids],
+                                  pmin[ids], pmax[ids], radius, cfg)
+
+        def skip(_):
+            n_kp = state.pids.shape[0]
+            return TrackStepResult(
+                pose=pose_in, point_idx=jnp.full(n_kp, -1, jnp.int32),
+                inliers=jnp.zeros(n_kp, bool), n_inliers=jnp.int32(0),
+                n_matches=jnp.int32(0))
+
+        # The retry stage can never be ADOPTED when stage 0 was healthy
+        # (adopt needs n_cur < 30) — skip its Hamming matmul + GN solve
+        # entirely then (~1/4 of the per-frame matching cost on the
+        # common path; lax.cond executes one branch at runtime).
+        res = jax.lax.cond(is_retry & (n_cur >= 30), skip, compute, None)
         adopt = jnp.where(
             is_retry, (n_cur < 30) & (res.n_inliers > n_cur),
             jnp.where(is_2a, res.n_inliers >= t_cfg.min_inliers_track,

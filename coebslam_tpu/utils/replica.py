@@ -69,6 +69,34 @@ def walking_trajectory(n_frames: int, seed: int = 3) -> List[SE3]:
     return poses
 
 
+def closure_trajectory(n_frames: int, seed: int = 3) -> List[SE3]:
+    """Out-and-back revisiting path: the camera pans (~46 deg) and
+    translates (~0.9 m) away from its start view and RETURNS to it over
+    the final frames — a genuine revisit for loop-closure validation
+    (the role of the reference's fr3 loop-rich sequences in its
+    evaluate_ate.py scoring), with a small handheld sway on top so
+    tracking still sees the walking-class motion.  Returns Tcw poses."""
+    rng = np.random.RandomState(seed)
+    ph = rng.uniform(0, 2 * np.pi, size=4)
+    poses = []
+    for i in range(n_frames):
+        u = i / max(n_frames - 1, 1)
+        e = 0.5 * (1.0 - np.cos(2.0 * np.pi * u))     # 0 -> 1 -> 0 smooth
+        s = i / 30.0
+        c = np.array([
+            0.9 * e + 0.05 * np.sin(1.3 * s + ph[0]),
+            0.04 * np.sin(0.9 * s + ph[1]),
+            -1.2 + 0.25 * e,
+        ], np.float32)
+        yaw = 0.8 * e + 0.03 * np.sin(1.1 * s + ph[2])
+        pitch = 0.02 * np.sin(0.7 * s + ph[3])
+        Rwc = (synthetic._rot_y(yaw) @ synthetic._rot_x(pitch)).astype(
+            np.float32)
+        Rcw = Rwc.T
+        poses.append(SE3(Rcw, (-Rcw @ c).astype(np.float32)))
+    return poses
+
+
 def _box_blur(img: np.ndarray, k: int) -> np.ndarray:
     """Separable box blur (motion-blur stand-in), reflect-padded."""
     if k <= 1:
@@ -87,7 +115,7 @@ def generate(root: str, n_frames: int = 400, seed: int = 0,
              cam: Optional[CameraConfig] = None,
              blur_windows: Tuple[Tuple[int, int, int], ...] = (),
              shake_window: Optional[Tuple[int, int]] = None,
-             walkers: int = 1,
+             walkers: int = 1, closure: bool = False,
              progress: bool = False) -> dict:
     """Render the replica sequence to ``root``.  Deterministic in
     (n_frames, seed, options).
@@ -96,6 +124,8 @@ def generate(root: str, n_frames: int = 400, seed: int = 0,
       blur — by default two windows are placed at 1/3 and 2/3 of the run.
     shake_window: frame range with doubled camera sway (default: around
       55% of the run).
+    closure: use the out-and-back `closure_trajectory` (a genuine
+      revisit at the end of the run) instead of the non-revisiting sway.
     Returns {"stamps", "poses", "boxes"} for callers that keep going.
     """
     import jax
@@ -120,7 +150,8 @@ def generate(root: str, n_frames: int = 400, seed: int = 0,
             start=(-1.1 + 0.8 * wi, -0.25 + 0.1 * wi, 1.9 + 0.3 * wi),
             velocity=(0.011 + 0.003 * wi, 0.004 * (1 - wi), 0.0),
             half_w=0.28, half_h=0.62))
-    poses = walking_trajectory(n_frames, seed=seed + 3)
+    poses = (closure_trajectory(n_frames, seed=seed + 3) if closure
+             else walking_trajectory(n_frames, seed=seed + 3))
 
     # Camera shake: amplify the pose delta inside the window.
     if shake_window is not None:

@@ -53,6 +53,11 @@ def main():
                     "arenas to the host toolchain and run global BA "
                     "(slam/handoff.py), then export the refined keyframe "
                     "trajectory")
+    ap.add_argument("--hybrid-gba", action="store_true",
+                    help="with --realtime: after the handoff, run the "
+                    "segment-sharded global BA over a hybrid (dcn, ici) "
+                    "device mesh on the real map "
+                    "(parallel/multihost.py, SURVEY §5.8)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -200,7 +205,7 @@ def _run_realtime(args, cfg, seq, n, box_lookup, detector, vocab):
         print(f"ATE RMSE: {r['rmse']*100:.2f} cm  "
               f"(median {r['median']*100:.2f} cm, {r['pairs']} pairs)")
 
-    if args.refine:
+    if args.refine or args.hybrid_gba:
         from coebslam_tpu.slam import handoff
         m, kf_ids, n_opt = handoff.refine(res, cfg)
         trajectory.save_tum(
@@ -209,6 +214,35 @@ def _run_realtime(args, cfg, seq, n, box_lookup, detector, vocab):
             [(m.kf_R[k], m.kf_t[k]) for k in kf_ids])
         print(f"offline refinement: global BA over {n_opt} keyframes; "
               f"KeyFrameTrajectory.txt written")
+        traj2 = handoff.refined_trajectory(res, m, kf_ids)
+        if seq.gt_stamps is not None:
+            est2 = np.asarray([-P[:, :3].T @ P[:, 3] for P in traj2])
+            r2 = ate.ate_rmse(res["stamps"], est2, seq.gt_stamps,
+                              seq.gt_poses[:, :3])
+            print(f"refined ATE RMSE: {r2['rmse']*100:.2f} cm")
+
+    if args.hybrid_gba:
+        # Segment-sharded global BA of the REAL handed-off map over the
+        # hybrid (dcn, ici) mesh — the SURVEY §5.8 scale-out path on
+        # real data (use XLA_FLAGS=--xla_force_host_platform_device_count
+        # + --cpu to exercise a virtual mesh on one host).
+        import jax
+        from coebslam_tpu.parallel import multihost, sharded_ba
+        hmesh = multihost.make_hybrid_mesh(
+            dcn_size=max(2, len(jax.devices()) // 4)
+            if len(jax.devices()) > 1 else 1)
+        n_seg = max(1, hmesh.devices.shape[0])
+        prob, kfs, pts, seg = multihost.arena_to_ba_problem(
+            m, cfg, n_segments=n_seg, pad_points_to=hmesh.devices.size)
+        res_h = sharded_ba.optimize_global_sharded(
+            prob, cfg.camera, cfg.optimizer, hmesh,
+            axis=(multihost.DCN_AXIS, multihost.ICI_AXIS))
+        import numpy as _np
+        assert _np.isfinite(_np.asarray(res_h.kf_t)).all()
+        counts = [int((seg == s).sum()) for s in range(n_seg)]
+        print(f"hybrid-mesh GBA: {len(kfs)} KFs / {len(pts)} points over "
+              f"mesh {hmesh.devices.shape} (dcn,ici); segment point "
+              f"counts {counts}")
 
 
 def _kf_centers(m):
