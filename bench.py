@@ -64,6 +64,7 @@ PEAK_FLOPS = 197e12
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 VOCAB_PATH = os.path.join(ROOT, "artifacts", "vocab_1e5.npz")
+DET_PATH = os.path.join(ROOT, "artifacts", "detector_walker.npz")
 
 
 def _render_frames(cache: str) -> None:
@@ -337,6 +338,71 @@ def run_realtime(G, D, B, cfg, voc):
     return rt, fps, maint_ms
 
 
+def _own_detector(cfg):
+    """The synthetic-trained reduced-width YOLOv5 (tools/train_detector.py
+    checkpoint) — None when the artifact is absent."""
+    if not os.path.exists(DET_PATH):
+        return None, None
+    from coebslam_tpu.config import DetectorConfig
+    from coebslam_tpu.models.detector import YoloDetector, load_variables_npz
+    vars_, meta = load_variables_npz(DET_PATH)
+    dcfg = DetectorConfig(width_multiple=0.125, num_classes=1,
+                          input_size=320, conf_threshold=0.4)
+    return YoloDetector(dcfg, cfg.dynamic, variables=vars_), meta
+
+
+def run_realtime_selfdetect(G, D, cfg):
+    """Realtime run driven by the detector's OWN decoded boxes (no GT):
+    the full detect->NMS->sticky-mask->ATE chain the reference runs live
+    (yolo_v5.py:104-127 -> ORBextractor.cc:1116-1207).  NO readback."""
+    from coebslam_tpu.slam.realtime import RealtimeSlam
+
+    det, meta = _own_detector(cfg)
+    if det is None:
+        return None
+    rt = RealtimeSlam(cfg, detector=det, detect_every=5)
+    for i in range(N_FRAMES):                       # warm pass
+        rt.track(G[i], D[i], stamp=i / 30.0)
+    rt.block()
+    t0 = time.perf_counter()
+    for i in range(N_FRAMES):
+        rt.track(G[i], D[i], stamp=(N_FRAMES + i) / 30.0)
+    rt.block()
+    fps = N_FRAMES / (time.perf_counter() - t0)
+    return rt, fps, det, meta
+
+
+def score_selfdetect(sd_run, G, B, gt_ate_m):
+    """Readback phase: ATE of the self-detect run + decoded-box IoU vs
+    the renderer's GT walker boxes."""
+    rt, fps, det, meta = sd_run
+    res = rt.finish()
+    n = len(res["stamps"])
+    r = _score(res["stamps"], res["R"], res["t"], n)
+    ious = []
+    for i in range(0, N_FRAMES, 10):
+        boxes = np.asarray(det.detect(G[i]))
+        g = B[i]
+        best = 0.0
+        for b in boxes:
+            lt = np.maximum(b[:2], g[:2])
+            rb = np.minimum(b[2:], g[2:])
+            inter = np.prod(np.maximum(rb - lt, 0))
+            ua = np.prod(b[2:] - b[:2]) + np.prod(g[2:] - g[:2]) - inter
+            best = max(best, float(inter / max(ua, 1e-9)))
+        ious.append(best)
+    out = {
+        "selfdetect_ate_m": round(float(r["rmse"]), 4),
+        "selfdetect_fps": round(fps, 1),
+        "selfdetect_box_iou": round(float(np.mean(ious)), 3),
+        "selfdetect_trained_iou": round(float(meta.get("miou", 0.0)), 3),
+    }
+    print(f"self-detect: ATE {r['rmse']*100:.2f} cm ({fps:.0f} fps, "
+          f"box IoU {out['selfdetect_box_iou']}) vs GT-box ATE "
+          f"{gt_ate_m*100:.2f} cm", file=sys.stderr, flush=True)
+    return out
+
+
 def _mfu_estimate(rt, g, d, fps):
     """FLOPs of the fused per-frame program (XLA cost model) x achieved
     frame rate / chip peak."""
@@ -404,14 +470,21 @@ def _load_closure_replica(cfg):
     return seq, frames, boxes_of
 
 
+CLOSURE_DEPTH_BIAS = 1.05   # miscalibrated-sensor drift stressor (same
+                            # role as the loop-circuit scene's bias)
+
+
 def run_realtime_closure(cfg, voc, frames, boxes_of):
     """Revisiting-replica realtime run (out-and-back trajectory + walker
-    + blur): the dataset-wire loop-closure validation — NO readback."""
+    + blur + a systematic depth-scale error so real drift accumulates):
+    the dataset-wire loop-closure validation — NO readback."""
     from coebslam_tpu.slam.realtime import RealtimeSlam
 
     rt = RealtimeSlam(cfg, vocabulary=voc, maintain_every=4)
     t0 = time.perf_counter()
     for stamp, gray, depth in frames:
+        depth = (depth.astype(np.float32)
+                 * CLOSURE_DEPTH_BIAS).astype(depth.dtype)
         rt.track(gray, depth, stamp=stamp, boxes=boxes_of(stamp))
     rt.block()
     return rt, time.perf_counter() - t0
@@ -612,6 +685,7 @@ def main():
     loop_run = None
     cl_run = None
     rep_run = None
+    sd_run = None
     try:
         rt1, fps, maint_ms = run_realtime(G, D, B, cfg, voc)
         rep_run = None
@@ -626,6 +700,11 @@ def main():
                 cl_run = run_realtime_closure(cfg, voc, cframes, cboxes_of)
             except Exception as e:              # pragma: no cover
                 print(f"closure realtime failed: {e!r}", file=sys.stderr)
+        sd_run = None
+        try:
+            sd_run = run_realtime_selfdetect(G, D, cfg)
+        except Exception as e:                  # pragma: no cover
+            print(f"self-detect bench failed: {e!r}", file=sys.stderr)
         if voc is not None:
             try:
                 loop_run = run_loop_event(cfg, voc)
@@ -651,6 +730,11 @@ def main():
                                              len(frames))
         except Exception as e:                  # pragma: no cover
             print(f"replica scoring failed: {e!r}", file=sys.stderr)
+    if sd_run is not None:
+        try:
+            replica_extra.update(score_selfdetect(sd_run, G, B, ate_m))
+        except Exception as e:                  # pragma: no cover
+            print(f"self-detect scoring failed: {e!r}", file=sys.stderr)
     if cl_run is not None:
         try:
             replica_extra.update(

@@ -41,10 +41,12 @@ def associate(stamps_a, stamps_b, max_difference: float = 0.02):
     return out
 
 
-def horn_align(model: np.ndarray, data: np.ndarray
+def horn_align(model: np.ndarray, data: np.ndarray, with_scale: bool = False
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Least-squares rigid alignment data ~= R @ model + t (Horn closed form,
-    the same SVD construction as evaluate_ate.py:47-77).
+    """Least-squares rigid alignment data ~= s * R @ model + t (Horn closed
+    form, the same SVD construction as evaluate_ate.py:47-77; s == 1
+    unless ``with_scale`` — the Sim3 variant monocular scoring needs,
+    since a mono map's scale is normalized, not metric).
 
     Args:
       model, data: [3, N] point sets (estimated / ground truth).
@@ -57,20 +59,25 @@ def horn_align(model: np.ndarray, data: np.ndarray
     model_zero = model - model.mean(1, keepdims=True)
     data_zero = data - data.mean(1, keepdims=True)
     W = model_zero @ data_zero.T
-    U, _, Vt = np.linalg.svd(W.T)
+    U, D, Vt = np.linalg.svd(W.T)
     S = np.eye(3)
     if np.linalg.det(U) * np.linalg.det(Vt) < 0:
         S[2, 2] = -1
     R = U @ S @ Vt
-    t = data.mean(1, keepdims=True) - R @ model.mean(1, keepdims=True)
-    aligned = R @ model + t
+    s = 1.0
+    if with_scale:
+        var = (model_zero * model_zero).sum()
+        s = float(np.trace(np.diag(D) @ S) / max(var, 1e-12))
+    t = data.mean(1, keepdims=True) - s * (R @ model.mean(1, keepdims=True))
+    aligned = s * (R @ model) + t
     err = aligned - data
     trans_error = np.sqrt((err * err).sum(0))
     return R, t, trans_error
 
 
 def ate_rmse(est_stamps, est_xyz, gt_stamps, gt_xyz,
-             max_difference: float = 0.02) -> Dict[str, float]:
+             max_difference: float = 0.02,
+             with_scale: bool = False) -> Dict[str, float]:
     """Associate, align, score — the full evaluate_ate.py pipeline.
 
     Args:
@@ -93,7 +100,8 @@ def ate_rmse(est_stamps, est_xyz, gt_stamps, gt_xyz,
     if finite.sum() < 2:
         raise ValueError(
             f"only {int(finite.sum())} finite pairs ({n_bad} non-finite)")
-    _, _, err = horn_align(model[:, finite], data[:, finite])
+    _, _, err = horn_align(model[:, finite], data[:, finite],
+                           with_scale=with_scale)
     return {
         "rmse": float(np.sqrt((err ** 2).mean())),
         "mean": float(err.mean()),

@@ -38,6 +38,24 @@ class FakeDetector:
         return b
 
 
+def load_variables_npz(path: str):
+    """Load Flax variables saved by tools/train_detector.py (flattened
+    '/'-joined npz keys -> nested dict).  Returns (variables, meta)."""
+    z = np.load(path)
+    out: dict = {}
+    meta = {}
+    for k in z.files:
+        if k.startswith("__"):
+            meta[k.strip("_")] = z[k]
+            continue
+        parts = k.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(z[k])
+    return out, meta
+
+
 class YoloDetector:
     """In-graph YOLOv5s person detector."""
 

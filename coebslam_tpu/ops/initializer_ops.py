@@ -311,6 +311,51 @@ def reconstruct(p1_px, p2_px, valid, cam: CameraConfig, key,
                                 used_homography=use_h)
 
 
+def reconstruct_graph(p1_px, p2_px, valid, cam: CameraConfig, key,
+                      n_hypotheses: int = 200, sigma: float = 1.0,
+                      min_triangulated: int = 50) -> ReconstructionResult:
+    """Fully JITTABLE two-view initialization: both model paths (8
+    Faugeras homography hypotheses + 4 essential (R,t)) are evaluated
+    in-graph and the RH rule selects between them with `where`, so the
+    zero-sync realtime monocular path can initialize with NO host
+    readback (the host `reconstruct` above keeps the reference-shaped
+    early-exit control flow for the host pipeline; Initializer.cc:44)."""
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    p1 = (p1_px - jnp.asarray([cx, cy])) / jnp.asarray([fx, fy])
+    p2 = (p2_px - jnp.asarray([cx, cy])) / jnp.asarray([fx, fy])
+    sigma_n = sigma / fx
+    thr_n2 = (4.0 * sigma_n) ** 2
+
+    models = fit_models(p1_px, p2_px, valid, key, n_hypotheses, sigma)
+    rh = models.score_h / jnp.maximum(models.score_h + models.score_f, 1e-9)
+    use_h = rh > 0.40
+
+    hyps_h = decompose_homography(_pixels_to_normalized_h(models.H, cam))
+    Km = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    E = Km.T @ models.F @ Km
+    hyps_f = decompose_essential(E)
+    R_h = jnp.stack([h[0] for h in hyps_h])
+    t_h = jnp.stack([h[1] for h in hyps_h])
+    R_f = jnp.stack([h[0] for h in hyps_f])
+    t_f = jnp.stack([h[1] for h in hyps_f])
+    R_f8 = jnp.concatenate([R_f, R_f])           # pad 4 -> 8
+    t_f8 = jnp.concatenate([t_f, t_f])
+    Rs = jnp.where(use_h, R_h, R_f8)
+    ts = jnp.where(use_h, t_h, t_f8)
+    inl = jnp.where(use_h, models.inliers_h, models.inliers_f)
+
+    def ev(R, t):
+        good, X, err, _ = check_rt(R, t, p1, p2, inl, sigma=sigma_n)
+        good = good & (err < thr_n2)
+        return good.sum(), X, good
+
+    ns, Xs, goods = jax.vmap(ev)(Rs, ts)
+    b = jnp.argmax(ns)
+    ok = ns[b] >= min_triangulated
+    return ReconstructionResult(ok=ok, R=Rs[b], t=ts[b], points=Xs[b],
+                                good=goods[b], used_homography=use_h)
+
+
 def _pixels_to_normalized_h(H_px, cam: CameraConfig):
     """Convert a pixel-coordinate homography to normalized coords:
     Hn = K^-1 H K."""

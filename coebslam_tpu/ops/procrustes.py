@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -66,7 +68,8 @@ class AlignmentResult(NamedTuple):
 def ransac_alignment(src, dst, valid, key, *, n_hypotheses: int = 256,
                      threshold: float = 0.05, with_scale: bool = False,
                      cam: CameraConfig = None, obs_uv=None,
-                     px_threshold: float = 5.0) -> AlignmentResult:
+                     px_threshold: float = 5.0,
+                     final_threshold: float = None) -> AlignmentResult:
     """RANSAC similarity/rigid alignment from 3-point samples.
 
     Scoring: 3D distance < ``threshold`` by default; if ``cam``+``obs_uv``
@@ -94,17 +97,32 @@ def ransac_alignment(src, dst, valid, key, *, n_hypotheses: int = 256,
     counts = ok.sum(-1)
     best = jnp.argmax(counts)
 
-    # Refine on the best inlier set (weighted closed form).
-    w = ok[best].astype(src.dtype)
-    s, R, t = umeyama(src, dst, weights=w, with_scale=with_scale)
-    if not with_scale:
-        s = jnp.ones_like(s)
-    mapped = s * (src @ R.T) + t
-    if cam is not None and obs_uv is not None:
-        uv = cam_ops.project(cam, mapped)
-        err = jnp.linalg.norm(uv - obs_uv, axis=-1)
-        inl = (err < px_threshold) & (mapped[..., 2] > 0.05) & valid
-    else:
-        inl = (jnp.linalg.norm(mapped - dst, axis=-1) < threshold) & valid
+    # Refine on the best inlier set (weighted closed form), optionally
+    # ANNEALING the inlier radius down to ``final_threshold``: the wide
+    # RANSAC radius is right for finding the consensus set, but the
+    # returned pose should be fit tight — a loop correction solved at an
+    # 8 cm radius carries multi-cm error into the pose graph, worse than
+    # the drift it fixes on low-drift trajectories (the reference refines
+    # its RANSAC Sim3 with OptimizeSim3's chi2-gated GN the same way,
+    # LoopClosing.cc:276-330 -> Optimizer.cc:1046).
+    ths = [threshold]
+    if final_threshold is not None and final_threshold < threshold:
+        ths = list(np.geomspace(threshold, final_threshold, 3))
+    inl = ok[best]
+    s = jnp.ones(())
+    R = jnp.eye(3)
+    t = jnp.zeros(3)
+    for th_i in ths:
+        w = inl.astype(src.dtype)
+        s, R, t = umeyama(src, dst, weights=w, with_scale=with_scale)
+        if not with_scale:
+            s = jnp.ones_like(s)
+        mapped = s * (src @ R.T) + t
+        if cam is not None and obs_uv is not None:
+            uv = cam_ops.project(cam, mapped)
+            err = jnp.linalg.norm(uv - obs_uv, axis=-1)
+            inl = (err < px_threshold) & (mapped[..., 2] > 0.05) & valid
+        else:
+            inl = (jnp.linalg.norm(mapped - dst, axis=-1) < th_i) & valid
     return AlignmentResult(scale=s, R=R, t=t, inliers=inl,
                            n_inliers=inl.sum().astype(jnp.int32))

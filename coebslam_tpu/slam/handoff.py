@@ -92,12 +92,18 @@ def to_arena(res: dict, cfg: SystemConfig, stamps=None):
         point_ids = np.asarray(
             [arena_of.get(int(p), -1) if a else -1
              for p, a in zip(row, alive)], np.int32)
-        desc = np.zeros((len(row), 32), np.uint8)
+        if "kf_desc" in res:
+            # Exact per-keypoint descriptors (realtime sessions export the
+            # full keyframe descriptor set since r5).
+            desc = np.asarray(res["kf_desc"][i], np.uint8).copy()
+        else:
+            desc = np.zeros((len(row), 32), np.uint8)
         angle = np.zeros(len(row), np.float32)
         sel = point_ids >= 0
         if sel.any():
             ph = phys_of(row[sel])
-            desc[sel] = pt_desc[ph]
+            if "kf_desc" not in res:
+                desc[sel] = pt_desc[ph]
             angle[sel] = pt_angle[ph]
         fi = int(frames[i]) - dropped
         if 0 <= fi < len(stamps):

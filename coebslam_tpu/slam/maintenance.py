@@ -70,8 +70,13 @@ COOLDOWN_KFS = 10     # no re-detection sooner than this after a closure
                       # (mnLastLoopKFid + 10 gate, LoopClosing.cc:114)
 REUSE_TTL = 120       # frames the revisited chunks stay in the local map
 LOOP_EDGE_WEIGHT = 3.0
-ALIGN_INLIER_M = 0.08      # 3D RANSAC inlier radius (loop)
-RELOC_INLIER_M = 0.07      # 3D RANSAC inlier radius (reloc)
+ALIGN_INLIER_M = 0.08      # 3D RANSAC consensus radius (loop)
+ALIGN_FINAL_M = 0.03       # annealed refit radius — acceptance counts
+                           # inliers HERE, so a closure must be tight
+                           # (a loose-fit correction hurts low-drift
+                           # trajectories more than it helps)
+RELOC_INLIER_M = 0.07      # 3D RANSAC consensus radius (reloc)
+RELOC_FINAL_M = 0.05       # annealed refit radius (reloc)
 RELOC_AFTER_LOST = 4       # frames lost before in-graph reloc fires
 RELOC_MIN_INLIERS = 15
 MAX_BACKLOG = 8            # keyframes BoW-processed per dispatch (bound)
@@ -203,10 +208,15 @@ def maintenance_step(st: rt.RTState, ms: MaintState, seed,
     def process_one(lid, carry):
         st, ms = carry
         row = lid % K
-        pids, ph, ok = _kf_landmarks(st, row, lim)
-        words = _descend(st.pt_desc[ph], ok, node_bits, children,
+        # BoW document = the keyframe's FULL keypoint descriptor set
+        # (Frame::ComputeBoW over mDescriptors, Frame.cc:570-577) —
+        # landmark-only rows score genuine revisits ~10x weaker than
+        # temporal neighbors and the min-score gate never opens.
+        kp_ok = st.kf_kp_valid[row]
+        words = _descend(st.kf_desc[row], kp_ok, node_bits, children,
                          word_id, depth)
-        bow, has_words = _bow_vector(words, ok, word_weight, n_words)
+        bow, has_words = _bow_vector(words, kp_ok, word_weight, n_words)
+        pids, ph, ok = _kf_landmarks(st, row, lim)
 
         # Detection against the PRE-update database (self not included).
         scores = _l1_scores(bow, ms.kf_bow)
@@ -350,7 +360,8 @@ def maintenance_step(st: rt.RTState, ms: MaintState, seed,
             pair = st.fr_valid & (dmin <= cfg.matcher.th_high)
             res = procrustes.ransac_alignment(
                 src_pos[j], dst_c, pair & has_d, k_reloc, n_hypotheses=256,
-                threshold=RELOC_INLIER_M, with_scale=False)
+                threshold=RELOC_INLIER_M, with_scale=False,
+                final_threshold=RELOC_FINAL_M)
             ok = (res.n_inliers >= RELOC_MIN_INLIERS) \
                 & jnp.isfinite(res.R).all() & jnp.isfinite(res.t).all()
             return res, j, ok
@@ -488,7 +499,8 @@ def _close_loop(st: rt.RTState, ms: MaintState, lid, cand_row, score,
 
     res = procrustes.ransac_alignment(
         src, dst, pair & has_d, key, n_hypotheses=256,
-        threshold=ALIGN_INLIER_M, with_scale=False)
+        threshold=ALIGN_INLIER_M, with_scale=False,
+        final_threshold=ALIGN_FINAL_M)
     # A rank-deficient inlier set (coplanar/collinear points) can emit a
     # non-finite SVD solution without raising; one NaN pose would
     # propagate through the pose graph into every arena.  Reject it.
@@ -689,7 +701,8 @@ def _close_loop_bank(st: rt.RTState, ms: MaintState, lid, bidx, score,
 
     res = procrustes.ransac_alignment(
         src, dst, pair & has_d, key, n_hypotheses=256,
-        threshold=ALIGN_INLIER_M, with_scale=False)
+        threshold=ALIGN_INLIER_M, with_scale=False,
+        final_threshold=ALIGN_FINAL_M)
     solve_ok = jnp.isfinite(res.R).all() & jnp.isfinite(res.t).all()
     accepted = solve_ok & (res.n_inliers >= cfg.loop.min_sim3_inliers)
 

@@ -67,6 +67,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SystemConfig
+from ..geometry import so3 as so3_mod
 from ..geometry.se3 import SE3
 from ..ops import brief, matching as matching_ops
 from ..optim import local_ba
@@ -110,6 +111,10 @@ class RTState(NamedTuple):
     kf_t: jnp.ndarray               # [K, 3]
     kf_lid: jnp.ndarray             # [K] int32 logical tenant id (-1 empty)
     kf_obs: jnp.ndarray             # [K, N, 3] (u, v, ur) per keypoint
+    kf_desc: jnp.ndarray            # [K, N, 32] uint8 FULL keypoint set —
+                                    # the BoW document (Frame::ComputeBoW
+                                    # uses all frame descriptors; landmark-
+                                    # only rows score revisits ~10x weaker)
     kf_w: jnp.ndarray               # [K, N] inv_sigma2
     kf_kp_valid: jnp.ndarray        # [K, N] bool
     kf_pid: jnp.ndarray             # [K, N] int32 LOGICAL point id (-1)
@@ -142,6 +147,15 @@ class RTState(NamedTuple):
     fr_uv: jnp.ndarray              # [N, 2]
     fr_depth: jnp.ndarray           # [N]
     fr_valid: jnp.ndarray           # [N] bool
+    # monocular two-view-init reference frame stash (Tracking::
+    # MonocularInitialization's held reference, Tracking.cc:631-704,
+    # in device arrays so the init runs with zero readbacks)
+    mr_desc: jnp.ndarray            # [N, 32] uint8
+    mr_uv: jnp.ndarray              # [N, 2]
+    mr_angle: jnp.ndarray           # [N]
+    mr_w: jnp.ndarray               # [N] inv_sigma2
+    mr_valid: jnp.ndarray           # [N] bool
+    mr_ok: jnp.ndarray              # bool — reference held
     # loop-closure reuse window: chunks of this logical KF (and the next)
     # are re-exposed to tracking after a closure (temporal-window revisit fix)
     reuse_lid: jnp.ndarray          # int32 (-1 none)
@@ -173,7 +187,9 @@ def init_state(cfg: SystemConfig, lim: RTLimits) -> RTState:
         track=track, dyn=dynamic_mod.init_dyn_state(cfg),
         kf_R=jnp.tile(jnp.eye(3, dtype=f32), (K, 1, 1)),
         kf_t=jnp.zeros((K, 3), f32), kf_lid=jnp.full(K, -1, i32),
-        kf_obs=jnp.zeros((K, N, 3), f32), kf_w=jnp.ones((K, N), f32),
+        kf_obs=jnp.zeros((K, N, 3), f32),
+        kf_desc=jnp.zeros((K, N, 32), jnp.uint8),
+        kf_w=jnp.ones((K, N), f32),
         kf_kp_valid=jnp.zeros((K, N), bool),
         kf_pid=jnp.full((K, N), -1, i32),
         kf_frame=jnp.full(K, -1, i32), n_kf=i32(0),
@@ -189,6 +205,10 @@ def init_state(cfg: SystemConfig, lim: RTLimits) -> RTState:
         fr_desc=jnp.zeros((N, 32), jnp.uint8),
         fr_uv=jnp.zeros((N, 2), f32), fr_depth=jnp.zeros(N, f32),
         fr_valid=jnp.zeros(N, bool),
+        mr_desc=jnp.zeros((N, 32), jnp.uint8),
+        mr_uv=jnp.zeros((N, 2), f32), mr_angle=jnp.zeros(N, f32),
+        mr_w=jnp.ones(N, f32), mr_valid=jnp.zeros(N, bool),
+        mr_ok=jnp.bool_(False),
         reuse_lid=i32(-1), reuse_ttl=i32(0), seed_ttl=i32(0),
         n_ba_culled=i32(0), n_assoc=i32(0))
 
@@ -250,6 +270,128 @@ def _unproject_world(cam, uv, depth, R_cw, t_cw):
 
 
 # --------------------------------------------------------------------- #
+# monocular two-view initialization (in-graph, zero readbacks)
+# --------------------------------------------------------------------- #
+
+
+def _mono_init(st: RTState, fd, key, cfg: SystemConfig, lim: RTLimits
+               ) -> RTState:
+    """Zero-sync monocular initialization (Tracking.cc:631-821 +
+    Initializer.cc:44 in one device branch): hold a reference frame,
+    wide-window match the current frame against it, run the in-graph
+    batched H/F initializer (`initializer_ops.reconstruct_graph`), and
+    on success build keyframes 0 (reference, identity) and 1 (current,
+    recovered pose) with the triangulated points as chunk 0, scale
+    normalized so the median scene depth is 1 (Tracking.cc:756-780)."""
+    from ..ops import initializer_ops
+    cam = cfg.camera
+    K, S = lim.max_kf, lim.spawn_per_kf
+    N = st.mr_valid.shape[0]
+    feats = fd.feats
+    n_feat = feats.valid.sum()
+
+    def stash(s):
+        return s._replace(mr_desc=feats.desc, mr_uv=feats.uv,
+                          mr_angle=feats.angle, mr_w=fd.inv_sigma2,
+                          mr_valid=feats.valid, mr_ok=n_feat > 100)
+
+    def attempt(s):
+        sd_r = brief.to_signed(brief.unpack_bits(s.mr_desc))
+        d = matching_ops.hamming_matrix(sd_r, feats.signed_desc())
+        d = d + matching_ops.window_penalty(s.mr_uv, feats.uv,
+                                            cfg.matcher.radius_init)
+        res = matching_ops.match(
+            d, max_distance=cfg.matcher.th_low,
+            ratio=cfg.matcher.nn_ratio_init, mutual=True,
+            row_valid=s.mr_valid, col_valid=feats.valid)
+        n_m = res.valid.sum()
+        uv2 = feats.uv[jnp.clip(res.idx, 0)]
+        rec = initializer_ops.reconstruct_graph(
+            s.mr_uv, uv2, res.valid, cam, key,
+            n_hypotheses=cfg.ransac.init_iterations,
+            sigma=cfg.ransac.init_sigma)
+        good = rec.good & res.valid
+        ok = rec.ok & (n_m >= 100) \
+            & jnp.isfinite(rec.R).all() & jnp.isfinite(rec.t).all()
+
+        def build(s):
+            z = jnp.where(good, rec.points[:, 2], jnp.nan)
+            med = jnp.nanmedian(z)
+            med = jnp.where(jnp.isfinite(med) & (med > 1e-6), med, 1.0)
+            X = rec.points / med
+            t2 = rec.t / med
+            R2 = so3_mod.orthonormalize(rec.R)
+
+            # ---- chunk 0: triangulated landmarks (ref-keypoint indexed)
+            rank = jnp.cumsum(good.astype(jnp.int32)) - 1
+            take = good & (rank < S)
+            oh = (rank[None, :] == jnp.arange(S)[:, None]) & take[None, :]
+            src = jnp.argmax(oh, axis=1)
+            vc = oh.any(axis=1)
+            pos_c = jnp.where(vc[:, None], X[src], 0.0)
+            desc_c = jnp.where(vc[:, None], s.mr_desc[src], 0)
+            ang_c = jnp.where(vc, s.mr_angle[src], 0.0)
+            lvl_c = jnp.where(
+                vc, -jnp.log(jnp.maximum(s.mr_w[src], 1e-9))
+                / (2.0 * jnp.log(jnp.float32(cfg.orb.scale_factor))), 0.0)
+            dist = jnp.maximum(jnp.linalg.norm(pos_c, axis=-1), 1e-6)
+            normal_c = pos_c / dist[:, None]
+            sf = cfg.orb.scale_factor
+            maxd = jnp.where(vc, dist * sf ** lvl_c, 0.0)
+            mind = jnp.where(vc, maxd / sf ** (cfg.orb.n_levels - 1), 1e3)
+            upd0 = lambda arr, chunk: jax.lax.dynamic_update_slice(
+                arr, chunk.astype(arr.dtype), (0,) + (0,) * (arr.ndim - 1))
+            s = s._replace(
+                pt_pos=upd0(s.pt_pos, pos_c), pt_desc=upd0(s.pt_desc, desc_c),
+                pt_valid=jax.lax.dynamic_update_slice(s.pt_valid, vc, (0,)),
+                pt_angle=upd0(s.pt_angle, ang_c),
+                pt_normal=upd0(s.pt_normal, normal_c),
+                pt_mind=upd0(s.pt_mind, mind), pt_maxd=upd0(s.pt_maxd, maxd))
+
+            pid_ref = jnp.where(take, rank, -1)           # lid 0 chunk
+            # current-frame keypoint j <- ref keypoint n (res.idx[n] = j)
+            ohj = (res.idx[None, :] == jnp.arange(N)[:, None]) \
+                & (take & (res.idx >= 0))[None, :]
+            n_of = jnp.argmax(ohj, axis=1)
+            pid_cur = jnp.where(ohj.any(axis=1), pid_ref[n_of], -1)
+
+            # ---- keyframe rows 0 (reference @ identity) and 1 (current)
+            obs0 = jnp.concatenate(
+                [s.mr_uv, jnp.full((N, 1), -1.0)], axis=1)
+            eye = jnp.eye(3, dtype=jnp.float32)
+            s = s._replace(
+                kf_R=s.kf_R.at[0].set(eye).at[1].set(R2),
+                kf_t=s.kf_t.at[0].set(0.0).at[1].set(t2),
+                kf_lid=s.kf_lid.at[0].set(0).at[1].set(1),
+                kf_obs=s.kf_obs.at[0].set(obs0).at[1].set(fd.obs),
+                kf_desc=s.kf_desc.at[0].set(s.mr_desc)
+                               .at[1].set(feats.desc),
+                kf_w=s.kf_w.at[0].set(s.mr_w).at[1].set(fd.inv_sigma2),
+                kf_kp_valid=s.kf_kp_valid.at[0].set(s.mr_valid)
+                                         .at[1].set(feats.valid),
+                kf_pid=s.kf_pid.at[0].set(pid_ref).at[1].set(pid_cur),
+                kf_frame=s.kf_frame.at[0]
+                    .set(jnp.maximum(s.frame_idx - 1, 0))
+                    .at[1].set(s.frame_idx),
+                n_kf=jnp.int32(2),
+                frames_since_kf=jnp.int32(0),
+                peak_inliers=(pid_cur >= 0).sum().astype(jnp.int32),
+                track=s.track._replace(
+                    R=R2, t=t2, vR=eye, vt=jnp.zeros(3, jnp.float32),
+                    has_vel=jnp.bool_(False), ok=jnp.bool_(True),
+                    pids=pid_cur),
+                mr_ok=jnp.bool_(False))
+            return s
+
+        # Failed attempt: re-stash the CURRENT frame as the reference
+        # (the reference restarts its initializer the same way,
+        # Tracking.cc:644-656).
+        return jax.lax.cond(ok, build, stash, s)
+
+    return jax.lax.cond(st.mr_ok, attempt, stash, st)
+
+
+# --------------------------------------------------------------------- #
 # keyframe creation + windowed BA (one lax.cond branch)
 # --------------------------------------------------------------------- #
 
@@ -303,9 +445,34 @@ def _create_keyframe(st: RTState, fd, spawn_ok, pose: SE3, local_ids,
         & (dbest <= cfg.matcher.th_low)
     pids0 = jnp.where(assoc, local_ids[jbest], st.track.pids)
 
-    # ---- spawn selection (close depth, unmatched, outside moving boxes)
-    spawn = (feats.valid & (pids0 < 0) & (fd.depth > 0)
-             & (fd.depth < cam.depth_threshold) & spawn_ok)
+    # ---- spawn selection.  RGB-D/stereo: close-depth unmatched
+    # keypoints unproject directly (Tracking.cc:1142-1212).  Monocular:
+    # epipolar-match + DLT-triangulate against the PREVIOUS keyframe
+    # (CreateNewMapPoints, LocalMapping.cc:208-453 — the in-graph,
+    # fixed-shape version; the full keypoint set of the previous KF is
+    # in the ring since kf_desc landed).
+    kf_pid_base = st.kf_pid
+    if cfg.sensor == "monocular":
+        from ..ops import triangulation as tri_ops
+        prev_row = (k_log - 1) % K
+        T_prev = SE3(st.kf_R[prev_row], st.kf_t[prev_row])
+        prev_free = st.kf_kp_valid[prev_row] & (st.kf_pid[prev_row] < 0)
+        ln_sf = jnp.log(jnp.float32(cfg.orb.scale_factor))
+        prev_lvl = -jnp.log(jnp.maximum(st.kf_w[prev_row], 1e-9)) \
+            / (2.0 * ln_sf)
+        sd_prev = brief.to_signed(brief.unpack_bits(st.kf_desc[prev_row]))
+        tri = tri_ops.triangulate_pair(
+            feats.uv, sd_kp, feats.valid & (pids0 < 0) & spawn_ok,
+            feats.level,
+            st.kf_obs[prev_row][:, :2], sd_prev, prev_free, prev_lvl,
+            st.kf_obs[prev_row][:, 2],
+            pose, T_prev, cam, cfg.orb, cfg.matcher)
+        spawn = tri.good & jnp.isfinite(tri.points).all(axis=-1)
+        pts_w = tri.points
+    else:
+        spawn = (feats.valid & (pids0 < 0) & (fd.depth > 0)
+                 & (fd.depth < cam.depth_threshold) & spawn_ok)
+        pts_w = _unproject_world(cam, feats.uv, fd.depth, pose.R, pose.t)
     rank = jnp.cumsum(spawn.astype(jnp.int32)) - 1
     take = spawn & (rank < S)
     # Exact N->S compaction by gather: slot s's source keypoint is the one
@@ -315,7 +482,19 @@ def _create_keyframe(st: RTState, fd, spawn_ok, pose: SE3, local_ids,
     src = jnp.argmax(oh, axis=1)                       # [S] kp index
     valid_c = oh.any(axis=1)
 
-    pts_w = _unproject_world(cam, feats.uv, fd.depth, pose.R, pose.t)
+    if cfg.sensor == "monocular":
+        # Record the SECOND observation (the previous keyframe's matched
+        # keypoint) so the windowed BA constrains the new landmark from
+        # both views immediately.
+        n_kp = feats.uv.shape[0]
+        ohm = (tri.idx2[None, :] == jnp.arange(n_kp)[:, None]) \
+            & take[None, :]
+        n_of_m = jnp.argmax(ohm, axis=1)
+        pid_for_m = k_log * S + rank[n_of_m]
+        prev_pids = jnp.where(ohm.any(axis=1), pid_for_m,
+                              st.kf_pid[prev_row])
+        kf_pid_base = jax.lax.dynamic_update_slice(
+            st.kf_pid, prev_pids[None], (prev_row, 0))
     pos_c = jnp.where(valid_c[:, None], pts_w[src], 0.0)
     desc_c = jnp.where(valid_c[:, None], feats.desc[src], 0)
     angle_c = jnp.where(valid_c, feats.angle[src], 0.0)
@@ -354,14 +533,15 @@ def _create_keyframe(st: RTState, fd, spawn_ok, pose: SE3, local_ids,
     kf_t = row(st.kf_t, pose.t)
     kf_lid = st.kf_lid.at[k_phys].set(k_log)
     kf_obs = row(st.kf_obs, fd.obs)
+    kf_desc = row(st.kf_desc, feats.desc)
     kf_w = row(st.kf_w, fd.inv_sigma2)
     kf_kp_valid = row(st.kf_kp_valid, feats.valid)
-    kf_pid = row(st.kf_pid, pid_frame)
+    kf_pid = row(kf_pid_base, pid_frame)
     kf_frame = st.kf_frame.at[k_phys].set(st.frame_idx)
 
     st = st._replace(
         kf_R=kf_R, kf_t=kf_t, kf_lid=kf_lid, kf_obs=kf_obs,
-        kf_w=kf_w, kf_kp_valid=kf_kp_valid, kf_pid=kf_pid,
+        kf_desc=kf_desc, kf_w=kf_w, kf_kp_valid=kf_kp_valid, kf_pid=kf_pid,
         kf_frame=kf_frame, n_kf=k_log + 1,
         pt_pos=pt_pos, pt_desc=pt_desc, pt_valid=pt_valid,
         pt_angle=pt_angle, pt_normal=pt_normal, pt_mind=pt_mind,
@@ -402,7 +582,11 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
     kf_R_w = st.kf_R[rows_c]
     kf_t_w = st.kf_t[rows_c]
     # Anchor: the oldest window KF is fixed (plus KF 0 always — gauge).
-    kf_fixed = (jnp.arange(W) == 0) | ~wvalid | (wks_c == 0)
+    # Monocular needs TWO fixed anchors: with one fixed camera the map
+    # scale is a free direction (the 7-DoF mono gauge) and the Schur
+    # solve goes singular -> NaN poses.
+    n_anchor = 2 if cfg.sensor == "monocular" else 1
+    kf_fixed = (jnp.arange(W) < n_anchor) | ~wvalid | (wks_c <= n_anchor - 1)
 
     win_phys = (base_phys + jnp.arange(P)) % PT   # physical rows (wrap-safe)
     pt_pos_w = st.pt_pos[win_phys]
@@ -440,17 +624,21 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
         obs_valid=obs_valid)
     res = local_ba.optimize_local_ba(prob, cfg.camera, cfg.optimizer)
 
-    # Writeback: refined window poses + point chunk.
+    # Writeback: refined window poses + point chunk.  A degenerate solve
+    # (rank-deficient window) must not write NaN into the arenas.
     kf_R, kf_t = st.kf_R, st.kf_t
     for w in range(W):        # static unroll, W row updates
-        keep = kf_fixed[w]
+        keep = kf_fixed[w] | ~(jnp.isfinite(res.kf_R[w]).all()
+                               & jnp.isfinite(res.kf_t[w]).all())
         Rw = jnp.where(keep, kf_R_w[w], res.kf_R[w])
         tw = jnp.where(keep, kf_t_w[w], res.kf_t[w])
         kf_R = jax.lax.dynamic_update_slice(kf_R, Rw[None], (rows_c[w], 0, 0))
         kf_t = jax.lax.dynamic_update_slice(kf_t, tw[None], (rows_c[w], 0))
     # Writebacks wrap within the RING rows [0, K*S) only — the seed
     # staging rows past PT must never be clobbered by a wrapped window.
-    new_pos = jnp.where(pt_valid_w[:, None], res.pt_pos, pt_pos_w)
+    new_pos = jnp.where(pt_valid_w[:, None]
+                        & jnp.isfinite(res.pt_pos).all(-1, keepdims=True),
+                        res.pt_pos, pt_pos_w)
     pt_pos = jnp.concatenate(
         [_unrotate_update(st.pt_pos[:PT], new_pos, base_phys),
          st.pt_pos[PT:]])
@@ -470,8 +658,10 @@ def _windowed_ba(st: RTState, cfg: SystemConfig, lim: RTLimits) -> RTState:
     # prediction doesn't fight the adjusted map (Tracking.cc:558-574's
     # relative-pose bookkeeping achieves the same in the reference).
     iw_new = jnp.minimum(k_new - start_kf, W - 1)
-    newR = jnp.where(kf_fixed[iw_new], kf_R_w[iw_new], res.kf_R[iw_new])
-    newt = jnp.where(kf_fixed[iw_new], kf_t_w[iw_new], res.kf_t[iw_new])
+    keep_new = kf_fixed[iw_new] | ~(jnp.isfinite(res.kf_R[iw_new]).all()
+                                    & jnp.isfinite(res.kf_t[iw_new]).all())
+    newR = jnp.where(keep_new, kf_R_w[iw_new], res.kf_R[iw_new])
+    newt = jnp.where(keep_new, kf_t_w[iw_new], res.kf_t[iw_new])
     track = st.track._replace(R=newR, t=newt)
     return st._replace(kf_R=kf_R, kf_t=kf_t, pt_pos=pt_pos,
                        pt_valid=pt_valid, track=track,
@@ -516,6 +706,16 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     with jax.named_scope("dynamic_frontend"):
         fd, spawn_ok, dyn2, _info = dynamic_mod.dynamic_step(
             fd, g, st.dyn, boxes, key, cfg)
+
+    if cfg.sensor == "monocular":
+        # In-graph two-view initialization replaces the RGB-D depth
+        # bootstrap (runs until the map exists; zero readbacks).
+        with jax.named_scope("mono_init"):
+            st = jax.lax.cond(
+                st.n_kf == 0,
+                lambda s: _mono_init(s, fd, jax.random.fold_in(key, 7),
+                                     cfg, lim),
+                lambda s: s, st)
 
     # Tracking local map = the last `local_window` keyframe chunks, plus
     # the loop-closure reuse window (revisit chunks re-exposed by the
@@ -576,10 +776,23 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     untracked_close = vec[_V_UNTRACKED_CLOSE]
 
     first = st.n_kf == 0
-    enough = fd.feats.valid.sum() >= 500
-    pose = SE3(jnp.where(first, jnp.eye(3), track2.R),
-               jnp.where(first, jnp.zeros(3), track2.t))
-    ok = ok | (first & enough)
+    if cfg.sensor == "monocular":
+        # No depth bootstrap: the map only appears through _mono_init,
+        # and until then the frame is simply not tracked.
+        boot = jnp.bool_(False)
+        mono_inited = (st.n_kf == 2) & (st.frames_since_kf == 0) \
+            & st.track.ok
+    else:
+        boot = first & (fd.feats.valid.sum() >= 500)
+        mono_inited = jnp.bool_(False)
+    # On the mono-init frame, if the tracking gates failed, keep the
+    # freshly-initialized pose rather than freezing at the last one.
+    use_init = mono_inited & ~ok
+    pose = SE3(jnp.where(first, jnp.eye(3),
+                         jnp.where(use_init, st.track.R, track2.R)),
+               jnp.where(first, jnp.zeros(3),
+                         jnp.where(use_init, st.track.t, track2.t)))
+    ok = ok | boot | mono_inited
     track = track2._replace(R=pose.R, t=pose.t, ok=ok)
 
     # ---- keyframe policy (NeedNewKeyFrame, Tracking.cc:1049-1140;
@@ -594,7 +807,7 @@ def rt_step(gray, depth, boxes, seed, st: RTState, cfg: SystemConfig,
     c1b = fsk >= t_cfg.min_frames_between_kf
     c2 = ((n_inl < (ratio * peak.astype(jnp.float32))) | need_close)
     need_kf = ok & (n_inl > t_cfg.min_inliers_kf) & (c1a | (c1b & c2))
-    need_kf = need_kf | (first & enough)
+    need_kf = (need_kf & ~mono_inited) | boot
 
     st = st._replace(track=track, dyn=dyn2, peak_inliers=peak,
                      frames_since_kf=fsk,
@@ -764,6 +977,18 @@ class RealtimeSlam:
             "construct with cfg.sensor='stereo'"
         self.track(gray_left, gray_right, stamp, boxes=boxes)
 
+    def track_mono(self, gray, stamp: float, boxes=None) -> None:
+        """Monocular entry: zero-sync pipeline with in-graph two-view
+        initialization and triangulation-based point spawning (requires
+        cfg.sensor == 'monocular'; map scale is normalized to median
+        scene depth 1 at initialization, Tracking.cc:756-780)."""
+        assert self.cfg.sensor == "monocular", \
+            "construct with cfg.sensor='monocular'"
+        if not hasattr(self, "_zero_depth"):
+            h, w = self.cfg.camera.height, self.cfg.camera.width
+            self._zero_depth = jnp.zeros((h, w), jnp.uint16)
+        self.track(gray, self._zero_depth, stamp, boxes=boxes)
+
     def block(self) -> None:
         """Wait for all dispatched frames (still no readback)."""
         jax.block_until_ready(self.state)
@@ -804,6 +1029,7 @@ class RealtimeSlam:
             # slam.handoff can rebuild a host MapArena for offline
             # refinement / checkpointing / loop-capable re-processing.
             "kf_obs": np.asarray(st.kf_obs)[rows],
+            "kf_desc": np.asarray(st.kf_desc)[rows],
             "kf_w": np.asarray(st.kf_w)[rows],
             "kf_kp_valid": np.asarray(st.kf_kp_valid)[rows],
             "kf_pid": np.asarray(st.kf_pid)[rows],
