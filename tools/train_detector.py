@@ -186,8 +186,12 @@ def main():
                                       0.0).sum() / (m.sum() + 1.0))
             total += 8.0 * (jnp.where(m, (sig[..., 2:4] - wh_t) ** 2,
                                       0.0).sum() / (m.sum() + 1.0))
-            total += optax.sigmoid_binary_cross_entropy(
-                raw[lvl][..., 5], obj_t).mean()
+            # Class BCE needs the same positive weighting as objectness:
+            # unweighted, ~2 positives vs ~6300 cells drives the class
+            # prob to 0 even where objectness fires (score = obj * cls).
+            cls_bce = optax.sigmoid_binary_cross_entropy(
+                raw[lvl][..., 5], obj_t)
+            total += (cls_bce * wpos).mean()
         return total
 
     tx = optax.adam(args.lr)
