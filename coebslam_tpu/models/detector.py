@@ -60,7 +60,8 @@ class YoloDetector:
     """In-graph YOLOv5s person detector."""
 
     def __init__(self, cfg: DetectorConfig, dyn_cfg: DynamicConfig,
-                 variables=None, rng_seed: int = 0):
+                 variables=None, rng_seed: int = 0,
+                 dilate: float = 0.0):
         """Args:
           variables: Flax variables dict — from yolov5.port_torch_weights()
             for real checkpoints, or None for random init (useful only for
@@ -98,6 +99,15 @@ class YoloDetector:
             scale = jnp.asarray([w / size, h / size, w / size, h / size],
                                 jnp.float32)
             boxes = jnp.where(boxes >= 0, boxes * scale, -1.0)
+            if dilate > 0.0:
+                # Safety margin for the dynamic mask: an imperfect box
+                # that clips a limb leaks moving keypoints into the map
+                # (the reference relies on yolov5's tight person boxes;
+                # a reduced synthetic-trained net earns a margin).
+                ctr = 0.5 * (boxes[:, :2] + boxes[:, 2:])
+                half = 0.5 * (boxes[:, 2:] - boxes[:, :2]) * (1.0 + dilate)
+                dil = jnp.concatenate([ctr - half, ctr + half], axis=1)
+                boxes = jnp.where(boxes[:, :1] >= 0, dil, boxes)
             # Fixed [max_boxes, 4] shape for the fused dynamic step (rows
             # are score-ordered; overflow truncates, shortfall pads -1).
             pad = self._max_boxes - boxes.shape[0]

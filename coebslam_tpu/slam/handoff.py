@@ -156,8 +156,19 @@ def refined_trajectory(res: dict, arena, kf_ids):
     # lid order IS temporal order).
     j = np.searchsorted(kf_frames, np.arange(n), side="right") - 1
     j = np.clip(j, 0, len(kf_ids) - 1)
-    kf_R_old = np.asarray(res["kf_R"])
-    kf_t_old = np.asarray(res["kf_t"])
+    # The OLD anchor is the keyframe's own TRAJECTORY row, not its final
+    # arena pose: the windowed BA keeps refining recent keyframes after
+    # their frames were written, so frame poses are only consistent with
+    # the keyframe pose AS OF THAT TIME — which is exactly what the
+    # trajectory row holds (and what the reference's track-time
+    # mlRelativeFramePoses capture, System.cc:354-376).  Using the final
+    # arena pose as the old anchor bakes the later refinements into the
+    # relative and DEGRADES the re-based trajectory (measured on the
+    # 240-frame replica: 2.96 cm vs 0.90 cm with track-time anchors;
+    # the un-refined realtime trajectory scores 2.14 cm).
+    kf_tr = np.clip(kf_frames, 0, n - 1)
+    kf_R_old = R_f[kf_tr]
+    kf_t_old = t_f[kf_tr]
     kf_R_new = arena.kf_R[np.asarray(kf_ids)]
     kf_t_new = arena.kf_t[np.asarray(kf_ids)]
     for i in range(n):

@@ -265,9 +265,22 @@ def maintenance_step(st: rt.RTState, ms: MaintState, seed,
         # ---- bank insertion: every processed keyframe leaves a compact
         # persistent entry (sparse top-k BoW + pose + landmark subset) —
         # KeyFrameDatabase::add for places that will outlive the ring.
+        # The top-k is taken over the KEYPOINT word list (<= N entries),
+        # not the [n_words] dense vector: lax.top_k over 245k words is a
+        # device SORT (~10 ms/keyframe); aggregating duplicate words
+        # with an [N, N] equality matmul and top_k over N is exact and
+        # ~100x cheaper.
         KW, LB, B = lim.bank_words, lim.bank_landmarks, lim.bank_cap
-        topw, topi = jax.lax.top_k(bow, KW)
-        topi = jnp.where(topw > 0, topi, -1).astype(jnp.int32)
+        w_ok = kp_ok & (words >= 0)
+        wkp = jnp.where(w_ok, word_weight[jnp.clip(words, 0)], 0.0)
+        eq = (words[None, :] == words[:, None]) & w_ok[None, :]
+        agg = eq.astype(jnp.float32) @ wkp              # [N] per-occurrence
+        first = (jnp.argmax(eq, axis=1) == jnp.arange(words.shape[0])) \
+            & w_ok
+        total = jnp.maximum(wkp.sum(), 1e-9)
+        cand_w = jnp.where(first, agg / total, 0.0)
+        topw, top_kp = jax.lax.top_k(cand_w, KW)
+        topi = jnp.where(topw > 0, words[top_kp], -1).astype(jnp.int32)
         lsrc, lok = _compact(ok, LB)
         lph = ph[lsrc]
         brow = ms.bank_next % B

@@ -123,6 +123,7 @@ def build_targets_np(boxes, cam_w, cam_h):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=700)
+    ap.add_argument("--width", type=float, default=0.125)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--out", default=os.path.join(
@@ -149,9 +150,10 @@ def main():
     n_val = 30
     print(f"dataset: {n} frames ({n_val} held out)", flush=True)
 
-    dcfg = DetectorConfig(width_multiple=0.125, num_classes=1,
+    dcfg = DetectorConfig(width_multiple=args.width, num_classes=1,
                           input_size=INPUT, conf_threshold=0.4)
-    model = yolov5.YoloV5s(num_classes=1, width_mult=0.125, depth_mult=0.33)
+    model = yolov5.YoloV5s(num_classes=1, width_mult=args.width,
+                           depth_mult=0.33)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, INPUT, INPUT, 3)))
     params = variables["params"]
@@ -251,7 +253,8 @@ def main():
 
     flatten("", jax.device_get(trained))
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    np.savez_compressed(args.out, __miou__=np.float32(miou), **flat)
+    np.savez_compressed(args.out, __miou__=np.float32(miou),
+                        __width__=np.float32(args.width), **flat)
     sz = os.path.getsize(args.out) / 1e6
     print(f"saved {args.out} ({sz:.1f} MB)")
 
