@@ -197,6 +197,23 @@ def score_loop_event(rt, times, C):
         "loop_closure_dispatch_ms": round(float(np.max(steady)), 1),
         "loop_maint_ms_median": round(float(np.median(steady)), 2),
     }
+    try:
+        from coebslam_tpu.config import (CameraConfig, OrbConfig,
+                                         SystemConfig, TrackingConfig)
+        from coebslam_tpu.slam import handoff
+        ccfg = SystemConfig(
+            camera=CameraConfig(),
+            orb=OrbConfig(max_keypoints=1024, n_levels=4, n_features=1000),
+            tracking=TrackingConfig(max_frames_between_kf=4,
+                                    max_translation_per_frame=0.5),
+            use_dynamic_filtering=False)
+        m, kf_ids, _ = handoff.refine(res, ccfg)
+        traj2 = handoff.refined_trajectory(res, m, kf_ids)
+        est2 = np.asarray([-P[:, :3].T @ P[:, 3] for P in traj2])
+        r2 = ate.ate_rmse(res["stamps"], est2, np.arange(len(C)) / 30.0, C)
+        out["loop_scene_refined_ate_m"] = round(float(r2["rmse"]), 4)
+    except Exception as e:                      # pragma: no cover
+        print(f"loop refine scoring failed: {e!r}", file=sys.stderr)
     print(f"loop scene: {out['loop_scene_loops_closed']} closed "
           f"({out['loop_scene_events']} candidates), ATE "
           f"{out['loop_scene_ate_m']*100:.2f} cm, closure dispatch "

@@ -62,7 +62,9 @@ class AlignmentResult(NamedTuple):
     R: jnp.ndarray           # [3, 3]
     t: jnp.ndarray           # [3]
     inliers: jnp.ndarray     # [N] bool
-    n_inliers: jnp.ndarray   # int32
+    n_inliers: jnp.ndarray   # int32 — at the FINAL (annealed) radius
+    n_consensus: jnp.ndarray = None   # int32 — best hypothesis count at
+                                      # the wide RANSAC radius
 
 
 def ransac_alignment(src, dst, valid, key, *, n_hypotheses: int = 256,
@@ -125,4 +127,5 @@ def ransac_alignment(src, dst, valid, key, *, n_hypotheses: int = 256,
         else:
             inl = (jnp.linalg.norm(mapped - dst, axis=-1) < th_i) & valid
     return AlignmentResult(scale=s, R=R, t=t, inliers=inl,
-                           n_inliers=inl.sum().astype(jnp.int32))
+                           n_inliers=inl.sum().astype(jnp.int32),
+                           n_consensus=counts[best].astype(jnp.int32))

@@ -518,7 +518,16 @@ def _close_loop(st: rt.RTState, ms: MaintState, lid, cand_row, score,
     # non-finite SVD solution without raising; one NaN pose would
     # propagate through the pose graph into every arena.  Reject it.
     solve_ok = jnp.isfinite(res.R).all() & jnp.isfinite(res.t).all()
-    accepted = solve_ok & (res.n_inliers >= cfg.loop.min_sim3_inliers)
+    # Accept on TIGHT (annealed) inliers, OR on an overwhelming
+    # wide-radius consensus: heavy accumulated drift deforms the old map
+    # (a 6% depth-scale error puts candidate-era points ~10 cm off at
+    # range), so a genuine revisit can fail the tight count while the
+    # wide consensus is unambiguous — the pose graph + junction BA then
+    # iron the residual (the reference's equivalent split: Sim3Solver
+    # RANSAC accepts wide, OptimizeSim3 refines, LoopClosing.cc:276-330).
+    strong = res.n_consensus >= 3 * cfg.loop.min_sim3_inliers
+    accepted = solve_ok & ((res.n_inliers >= cfg.loop.min_sim3_inliers)
+                           | strong)
 
     # ---- event log (always recorded, applied flag says the rest)
     ev = jnp.stack([lid.astype(jnp.float32),
@@ -717,7 +726,16 @@ def _close_loop_bank(st: rt.RTState, ms: MaintState, lid, bidx, score,
         threshold=ALIGN_INLIER_M, with_scale=False,
         final_threshold=ALIGN_FINAL_M)
     solve_ok = jnp.isfinite(res.R).all() & jnp.isfinite(res.t).all()
-    accepted = solve_ok & (res.n_inliers >= cfg.loop.min_sim3_inliers)
+    # Accept on TIGHT (annealed) inliers, OR on an overwhelming
+    # wide-radius consensus: heavy accumulated drift deforms the old map
+    # (a 6% depth-scale error puts candidate-era points ~10 cm off at
+    # range), so a genuine revisit can fail the tight count while the
+    # wide consensus is unambiguous — the pose graph + junction BA then
+    # iron the residual (the reference's equivalent split: Sim3Solver
+    # RANSAC accepts wide, OptimizeSim3 refines, LoopClosing.cc:276-330).
+    strong = res.n_consensus >= 3 * cfg.loop.min_sim3_inliers
+    accepted = solve_ok & ((res.n_inliers >= cfg.loop.min_sim3_inliers)
+                           | strong)
 
     ev = jnp.stack([lid.astype(jnp.float32),
                     cand_lid.astype(jnp.float32), score,

@@ -232,8 +232,11 @@ def _run_realtime(args, cfg, seq, n, box_lookup, detector, vocab):
             dcn_size=max(2, len(jax.devices()) // 4)
             if len(jax.devices()) > 1 else 1)
         n_seg = max(1, hmesh.devices.shape[0])
+        # Pad to mesh_size * n_blocks_per_device so both the shard split
+        # and each device's chunked Schur scan divide evenly.
         prob, kfs, pts, seg = multihost.arena_to_ba_problem(
-            m, cfg, n_segments=n_seg, pad_points_to=hmesh.devices.size)
+            m, cfg, n_segments=n_seg,
+            pad_points_to=hmesh.devices.size * 2)
         res_h = sharded_ba.optimize_global_sharded(
             prob, cfg.camera, cfg.optimizer, hmesh,
             axis=(multihost.DCN_AXIS, multihost.ICI_AXIS))
