@@ -15,6 +15,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # ~3 min of e2e runs (fast tier: -m 'not slow')
+
 from coebslam_tpu.eval import ate
 from coebslam_tpu.slam import vocabulary as voc_mod
 from coebslam_tpu.slam.realtime import RealtimeSlam, RTLimits
